@@ -1,0 +1,195 @@
+"""Typed configuration for the whole engine.
+
+Replaces the reference's four-layer config system (opencv-yaml files, ROS
+private params, compile-time ``#define`` switches, and hard-coded constants
+in thread bodies — see reference src/Cerebro.h:49, src/cerebro_node.cpp:401)
+with one frozen dataclass tree. Every default that mirrors a reference
+constant cites its source file:line.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DescriptorConfig:
+    """Whole-image descriptor network (replaces the keras-server RPC, L3).
+
+    Reference: scripts/whole_image_desc_compute_server.py + NetVLAD layer in
+    scripts/predict_utils.py:11-79.
+    """
+
+    # Input geometry. EuRoC native is 752x480 gray
+    # (ref config/vinsfusion/euroc/euroc_stereo_imu_config.yaml:17-18); the
+    # reference's bundled June2019 models run at 240x320
+    # (scripts/whole_image_desc_compute_server.py listing). We default to
+    # 240x320 and keep dims MXU-friendly.
+    image_hw: Tuple[int, int] = (240, 320)
+    num_channels: int = 1
+    # NetVLAD clusters (K=16 in the bundled gray_conv6_K16 model family).
+    num_clusters: int = 16
+    # Trunk output channel count; descriptor dim = num_clusters * trunk_dim
+    # (ref descriptors are 4096-8192 dim, SURVEY.md terminology section).
+    trunk_dim: int = 256
+    # Compute dtype on the MXU.
+    dtype: str = "bfloat16"
+    # Batch size used for on-chip batched descriptor inference.
+    batch_size: int = 8
+    # Minimum tracked-feature count for a frame to be described at all —
+    # kidnapped frames are skipped (ref src/Cerebro.cpp:206-210).
+    min_tracked_features: int = 20
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Similarity search + temporal consistency (candidate generation).
+
+    Reference: Cerebro::descrip_N__dot__descrip_0_N (src/Cerebro.cpp:903-1103)
+    plus the faiss variants and HypothesisManager.
+    """
+
+    # Dot-product acceptance threshold (ref src/Cerebro.cpp:912 DOT_PROD_THRESH).
+    dot_threshold: float = 0.85
+    # The argmaxes of the newest 3 descriptors' score vectors must agree
+    # within this many frames (ref src/Cerebro.cpp:913 LOCALITY_THRESH).
+    locality_threshold: int = 12
+    # Newest frames excluded from search — no trivial self-matches
+    # (ref src/Cerebro.cpp:914 `l - 50` exclusion window).
+    exclusion_window: int = 50
+    # Number of consecutive newest descriptors that must agree (u, um, umm in
+    # ref src/Cerebro.cpp:1019-1032).
+    consistency_frames: int = 3
+    # Descriptor DB capacity (ref statically allocates 29000 columns,
+    # src/Cerebro.cpp:946). Must be a multiple of the shard tile (128).
+    db_capacity: int = 29056  # 227 * 128
+    # Top-k returned by the sharded retrieval kernel (ref faiss k-NN=5,
+    # src/Cerebro.cpp:460).
+    top_k: int = 5
+    # Hypothesis tracker (Method D equivalent, ref src/HypothesisManager.*).
+    hypothesis_ttl: int = 20  # ref src/HypothesisManager.h:32
+    hypothesis_locality: int = 7  # ref src/HypothesisManager.cpp:51
+    hypothesis_decay: int = 4  # ref src/HypothesisManager.cpp:74-86
+
+
+@dataclasses.dataclass(frozen=True)
+class VerifyConfig:
+    """Geometric verification of loop candidates.
+
+    Reference: loopcandiate_consumer_thread (src/Cerebro.cpp:1185-2213),
+    DlsPnpWithRansac.cpp, ProcessedLoopCandidate.cpp.
+    """
+
+    # Feature matching gates (ref src/Cerebro.cpp:1487 `<150` reject;
+    # src/ProcessedLoopCandidate.cpp:112 `>800` accept).
+    min_matches_attempt: int = 150
+    min_matches_accept: int = 800
+    # Max number of features extracted per image (ref ORB x 5000,
+    # src/utils/PointFeatureMatching.cpp:21). Static shape for vmap.
+    max_features: int = 1024
+    max_matches: int = 1024
+    # RANSAC budget (ref src/DlsPnpWithRansac.cpp:88-93,206-212); we run a
+    # fixed hypothesis batch in parallel instead of 5-50 sequential iters.
+    ransac_hypotheses: int = 256
+    pnp_sample_size: int = 6
+    icp_sample_size: int = 4
+    pnp_inlier_error: float = 0.03  # normalized-coord reprojection L1
+    icp_inlier_error: float = 0.1  # metres
+    min_inlier_ratio: float = 0.7
+    min_points_for_solve: int = 20  # ref src/DlsPnpWithRansac.cpp:19,136
+    # Depth validity range in metres (ref src/utils/PointFeatureMatching.cpp:125).
+    min_depth: float = 0.1
+    max_depth: float = 25.0
+    # Stereo block matching parity target: StereoBM(numDisparities=64,
+    # blockSize=21) (ref src/utils/CameraGeometry.cpp:81).
+    num_disparities: int = 64
+    block_size: int = 21
+    # 3-way pose consistency gate (ref src/ProcessedLoopCandidate.cpp:77-87):
+    # pairwise delta-poses within 5 deg (ypr inf-norm) and 0.2 m.
+    consistency_deg: float = 5.0
+    consistency_m: float = 0.2
+    # Reject candidate pairs closer than this in time
+    # (ref src/ProcessedLoopCandidate.cpp:49-56).
+    min_pair_dt_s: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class KidnapConfig:
+    """Kidnap (failure) detection + multi-world recovery.
+
+    Reference: Cerebro::kidnaped_thread (src/Cerebro.cpp:2235-2475).
+    """
+
+    # Kidnap begins when tracked features drop below this
+    # (ref src/Cerebro.cpp:2254 THRESH_N_FEATS).
+    feature_threshold: int = 15
+    # ... sustained for this long (ref src/Cerebro.cpp:2255).
+    sustain_s: float = 3.0
+    # Input-stream gap that also triggers the reset path
+    # (ref src/DataManager.cpp:263-291 >1 s image-timestamp gap).
+    stream_gap_s: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphConfig:
+    """Distributed pose-graph optimizer (capability of the external
+    solve_keyframe_pose_graph repo, now in-framework — ref README.md:176-194).
+    """
+
+    # 4-DOF (yaw + translation) matches the ceres fallback solver
+    # (ref src/DlsPnpWithRansac.cpp:253-398); 6-DOF also supported.
+    dof: int = 4
+    max_gn_iters: int = 25
+    cg_iters: int = 100
+    # Switch-constraint (robust loop edge) prior weight, DCS/SC style.
+    switch_prior_weight: float = 1.0
+    huber_delta: float = 0.1  # ref Huber(0.1), src/DlsPnpWithRansac.cpp:320
+    damping: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Host-side orchestration parameters (replaces thread rates + RAM
+    policy of the reference's DataManager/ImageDataManager)."""
+
+    # Descriptor batching window: frames accumulated before one batched
+    # inference dispatch (replaces the 20 Hz scan + adaptive skip of
+    # ref src/Cerebro.cpp:124,193-203 — on TPU we batch instead of skip).
+    descriptor_batch: int = 8
+    # Keyframe image RAM window before stashing to disk
+    # (ref src/DataManager.cpp:709,728-730 keeps ~5-10 s in RAM).
+    image_ram_window_s: float = 10.0
+    # Disk stash directory (ref /tmp/cerebro_stash, src/ImageDataManager.h:47).
+    stash_dir: str = "/tmp/cerebro_tpu_stash"
+    # Reload cache TTL in hits (ref src/ImageDataManager.cpp:155).
+    image_cache_ttl: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """SPMD mesh layout. The descriptor DB history axis is sharded over
+    `data` (the sequence-parallel analog, SURVEY.md §5.7); batch inference is
+    data-parallel over the same axis."""
+
+    # Names of mesh axes; a 1-axis mesh shards the DB history dimension.
+    axis_db: str = "db"
+    # Number of devices; None = all visible devices.
+    num_devices: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class CerebroConfig:
+    descriptor: DescriptorConfig = dataclasses.field(default_factory=DescriptorConfig)
+    loop: LoopConfig = dataclasses.field(default_factory=LoopConfig)
+    verify: VerifyConfig = dataclasses.field(default_factory=VerifyConfig)
+    kidnap: KidnapConfig = dataclasses.field(default_factory=KidnapConfig)
+    posegraph: PoseGraphConfig = dataclasses.field(default_factory=PoseGraphConfig)
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    def replace(self, **kw) -> "CerebroConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = CerebroConfig()

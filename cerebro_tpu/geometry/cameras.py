@@ -1,0 +1,286 @@
+"""Camera models as pure, vmap-able lift/project functions.
+
+This is the TPU-native equivalent of the reference's vendored camodocal
+library (src/utils/camodocal/: PinholeCamera.cc, CataCamera.cc (Mei),
+EquidistantCamera.cc (Kannala-Brandt), CameraFactory.cc) — ~11 kLoC of C++
+reduced to branch-free array functions. Each model provides
+
+  project(params, P_cam)  : (...,3) camera-frame points -> (...,2) pixels
+  lift(params, uv)        : (...,2) pixels -> (...,3) unit-norm rays
+
+with fixed-iteration (jit-safe) inverse-distortion solves instead of the
+reference's recursive/iterative CPU loops. The YAML factory
+(``from_yaml_dict``) accepts camodocal-format dicts so the reference's
+config files (config/**/*.yaml camera blocks) map directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+PINHOLE = "PINHOLE"
+MEI = "MEI"
+KANNALA_BRANDT = "KANNALA_BRANDT"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CameraParams:
+    """Unified parameter container (a pytree). Unused slots are zero.
+
+    fx, fy, cx, cy  : pinhole projection
+    dist            : distortion coefficients
+                      PINHOLE: (k1, k2, p1, p2)   [radtan]
+                      KANNALA_BRANDT: (k2, k3, k4, k5) [theta polynomial]
+                      MEI: (k1, k2, p1, p2)
+    xi              : MEI unified-model mirror parameter (0 otherwise)
+    """
+
+    fx: jax.Array
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    dist: jax.Array
+    xi: jax.Array
+    model: str = dataclasses.field(metadata=dict(static=True), default=PINHOLE)
+    width: int = dataclasses.field(metadata=dict(static=True), default=752)
+    height: int = dataclasses.field(metadata=dict(static=True), default=480)
+
+
+def make_pinhole(fx, fy, cx, cy, dist=(0.0, 0.0, 0.0, 0.0), width=752, height=480):
+    return CameraParams(
+        fx=jnp.asarray(fx, jnp.float32),
+        fy=jnp.asarray(fy, jnp.float32),
+        cx=jnp.asarray(cx, jnp.float32),
+        cy=jnp.asarray(cy, jnp.float32),
+        dist=jnp.asarray(dist, jnp.float32),
+        xi=jnp.asarray(0.0, jnp.float32),
+        model=PINHOLE,
+        width=width,
+        height=height,
+    )
+
+
+def make_kannala_brandt(mu, mv, u0, v0, k=(0.0, 0.0, 0.0, 0.0), width=752, height=480):
+    return CameraParams(
+        fx=jnp.asarray(mu, jnp.float32),
+        fy=jnp.asarray(mv, jnp.float32),
+        cx=jnp.asarray(u0, jnp.float32),
+        cy=jnp.asarray(v0, jnp.float32),
+        dist=jnp.asarray(k, jnp.float32),
+        xi=jnp.asarray(0.0, jnp.float32),
+        model=KANNALA_BRANDT,
+        width=width,
+        height=height,
+    )
+
+
+def make_mei(gamma1, gamma2, u0, v0, xi, dist=(0.0, 0.0, 0.0, 0.0), width=752, height=480):
+    return CameraParams(
+        fx=jnp.asarray(gamma1, jnp.float32),
+        fy=jnp.asarray(gamma2, jnp.float32),
+        cx=jnp.asarray(u0, jnp.float32),
+        cy=jnp.asarray(v0, jnp.float32),
+        dist=jnp.asarray(dist, jnp.float32),
+        xi=jnp.asarray(xi, jnp.float32),
+        model=MEI,
+        width=width,
+        height=height,
+    )
+
+
+def from_yaml_dict(d: Dict) -> CameraParams:
+    """Build from a camodocal-format dict (parsed from the reference's camera
+    yaml files; see ref src/utils/camodocal/src/camera_models/CameraFactory.cc
+    for the format)."""
+    model = d.get("model_type", "PINHOLE").upper()
+    w = int(d.get("image_width", 752))
+    h = int(d.get("image_height", 480))
+    if model == "PINHOLE":
+        pp = d["projection_parameters"]
+        dp = d.get("distortion_parameters", {})
+        return make_pinhole(
+            pp["fx"], pp["fy"], pp["cx"], pp["cy"],
+            (dp.get("k1", 0.0), dp.get("k2", 0.0), dp.get("p1", 0.0), dp.get("p2", 0.0)),
+            w, h,
+        )
+    if model == "KANNALA_BRANDT":
+        pp = d["projection_parameters"]
+        return make_kannala_brandt(
+            pp["mu"], pp["mv"], pp["u0"], pp["v0"],
+            (pp.get("k2", 0.0), pp.get("k3", 0.0), pp.get("k4", 0.0), pp.get("k5", 0.0)),
+            w, h,
+        )
+    if model == "MEI":
+        pp = d["projection_parameters"]
+        dp = d.get("mirror_parameters", {})
+        di = d.get("distortion_parameters", {})
+        return make_mei(
+            pp["gamma1"], pp["gamma2"], pp["u0"], pp["v0"], dp.get("xi", 1.0),
+            (di.get("k1", 0.0), di.get("k2", 0.0), di.get("p1", 0.0), di.get("p2", 0.0)),
+            w, h,
+        )
+    raise ValueError(f"unknown camera model {model!r}")
+
+
+# ---------------------------------------------------------------------------
+# Distortion primitives
+# ---------------------------------------------------------------------------
+
+
+def _radtan_distort(dist: jax.Array, xy: jax.Array) -> jax.Array:
+    """Apply radial-tangential distortion to normalized coords (...,2)."""
+    k1, k2, p1, p2 = dist[..., 0], dist[..., 1], dist[..., 2], dist[..., 3]
+    x, y = xy[..., 0], xy[..., 1]
+    r2 = x * x + y * y
+    radial = 1.0 + k1 * r2 + k2 * r2 * r2
+    dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return jnp.stack([x * radial + dx, y * radial + dy], axis=-1)
+
+
+def _radtan_undistort(dist: jax.Array, xy_d: jax.Array, iters: int = 8) -> jax.Array:
+    """Fixed-point inverse of radtan distortion (jit-safe fixed iteration
+    count — replaces camodocal's recursive undistortion,
+    ref src/utils/camodocal/src/camera_models/PinholeCamera.cc)."""
+
+    def body(_, xy):
+        d = _radtan_distort(dist, xy) - xy
+        return xy_d - d
+
+    return jax.lax.fori_loop(0, iters, body, xy_d)
+
+
+# ---------------------------------------------------------------------------
+# Projection / lifting per model
+# ---------------------------------------------------------------------------
+
+
+def _project_pinhole(c: CameraParams, P: jax.Array) -> jax.Array:
+    z = jnp.where(jnp.abs(P[..., 2]) < 1e-9, 1e-9, P[..., 2])
+    xy = P[..., :2] / z[..., None]
+    xyd = _radtan_distort(c.dist, xy)
+    u = c.fx * xyd[..., 0] + c.cx
+    v = c.fy * xyd[..., 1] + c.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def _lift_pinhole(c: CameraParams, uv: jax.Array) -> jax.Array:
+    xd = (uv[..., 0] - c.cx) / c.fx
+    yd = (uv[..., 1] - c.cy) / c.fy
+    xy = _radtan_undistort(c.dist, jnp.stack([xd, yd], axis=-1))
+    ray = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1)
+    return ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+
+
+def _project_kb(c: CameraParams, P: jax.Array) -> jax.Array:
+    # Kannala-Brandt: r(theta) = theta + k2 th^3 + k3 th^5 + k4 th^7 + k5 th^9
+    # (ref src/utils/camodocal/src/camera_models/EquidistantCamera.cc).
+    k2, k3, k4, k5 = c.dist[..., 0], c.dist[..., 1], c.dist[..., 2], c.dist[..., 3]
+    rho = jnp.sqrt(P[..., 0] ** 2 + P[..., 1] ** 2)
+    theta = jnp.arctan2(rho, P[..., 2])
+    th2 = theta * theta
+    r = theta * (1.0 + th2 * (k2 + th2 * (k3 + th2 * (k4 + th2 * k5))))
+    safe_rho = jnp.where(rho < 1e-9, 1.0, rho)
+    scale = jnp.where(rho < 1e-9, 0.0, r / safe_rho)
+    u = c.fx * P[..., 0] * scale + c.cx
+    v = c.fy * P[..., 1] * scale + c.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def _lift_kb(c: CameraParams, uv: jax.Array, iters: int = 10) -> jax.Array:
+    # Invert r(theta) by fixed Newton iterations.
+    k2, k3, k4, k5 = c.dist[..., 0], c.dist[..., 1], c.dist[..., 2], c.dist[..., 3]
+    mx = (uv[..., 0] - c.cx) / c.fx
+    my = (uv[..., 1] - c.cy) / c.fy
+    r = jnp.sqrt(mx * mx + my * my)
+
+    def f(theta):
+        th2 = theta * theta
+        return theta * (1.0 + th2 * (k2 + th2 * (k3 + th2 * (k4 + th2 * k5)))) - r
+
+    def fp(theta):
+        th2 = theta * theta
+        return 1.0 + th2 * (3 * k2 + th2 * (5 * k3 + th2 * (7 * k4 + th2 * 9 * k5)))
+
+    def body(_, theta):
+        return theta - f(theta) / jnp.maximum(fp(theta), 1e-6)
+
+    theta = jax.lax.fori_loop(0, iters, body, r)
+    sin_t = jnp.sin(theta)
+    safe_r = jnp.where(r < 1e-9, 1.0, r)
+    x = jnp.where(r < 1e-9, 0.0, sin_t * mx / safe_r)
+    y = jnp.where(r < 1e-9, 0.0, sin_t * my / safe_r)
+    z = jnp.cos(theta)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def _project_mei(c: CameraParams, P: jax.Array) -> jax.Array:
+    # Unified (Mei) model: project onto unit sphere, shift by xi, pinhole.
+    # (ref src/utils/camodocal/src/camera_models/CataCamera.cc)
+    norm = jnp.linalg.norm(P, axis=-1)
+    z = P[..., 2] + c.xi * norm
+    z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    xy = P[..., :2] / z[..., None]
+    xyd = _radtan_distort(c.dist, xy)
+    u = c.fx * xyd[..., 0] + c.cx
+    v = c.fy * xyd[..., 1] + c.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def _lift_mei(c: CameraParams, uv: jax.Array) -> jax.Array:
+    mx = (uv[..., 0] - c.cx) / c.fx
+    my = (uv[..., 1] - c.cy) / c.fy
+    xy = _radtan_undistort(c.dist, jnp.stack([mx, my], axis=-1))
+    mx, my = xy[..., 0], xy[..., 1]
+    r2 = mx * mx + my * my
+    xi = c.xi
+    disc = 1.0 + (1.0 - xi * xi) * r2
+    zs = (xi + jnp.sqrt(jnp.maximum(disc, 0.0))) / (1.0 + r2)
+    x = zs * mx
+    y = zs * my
+    z = zs - xi
+    ray = jnp.stack([x, y, z], axis=-1)
+    return ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+
+
+_PROJECT = {PINHOLE: _project_pinhole, KANNALA_BRANDT: _project_kb, MEI: _project_mei}
+_LIFT = {PINHOLE: _lift_pinhole, KANNALA_BRANDT: _lift_kb, MEI: _lift_mei}
+
+
+def project(c: CameraParams, P_cam: jax.Array) -> jax.Array:
+    """Camera-frame 3D points (...,3) -> pixel coords (...,2)."""
+    return _PROJECT[c.model](c, P_cam)
+
+
+def lift(c: CameraParams, uv: jax.Array) -> jax.Array:
+    """Pixel coords (...,2) -> unit-norm rays (...,3)."""
+    return _LIFT[c.model](c, uv)
+
+
+def K_matrix(c: CameraParams) -> jax.Array:
+    """3x3 intrinsics (the reference's GeometryUtils::make_K,
+    src/utils/CameraGeometry.h:276-305)."""
+    z = jnp.zeros_like(c.fx)
+    o = jnp.ones_like(c.fx)
+    return jnp.stack(
+        [
+            jnp.stack([c.fx, z, c.cx], axis=-1),
+            jnp.stack([z, c.fy, c.cy], axis=-1),
+            jnp.stack([z, z, o], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def normalized_coords(c: CameraParams, uv: jax.Array) -> jax.Array:
+    """Pixels -> undistorted ideal (normalized) image coords (...,2) —
+    the reference's K^-1 normalization used before PnP
+    (src/utils/PointFeatureMatching.cpp:95-153)."""
+    ray = lift(c, uv)
+    z = jnp.where(jnp.abs(ray[..., 2]) < 1e-9, 1e-9, ray[..., 2])
+    return ray[..., :2] / z[..., None]

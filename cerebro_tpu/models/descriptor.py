@@ -1,0 +1,72 @@
+"""Whole-image descriptor network: trunk + NetVLAD, jitted batch inference.
+
+This module replaces the reference's entire L3 descriptor service — the ROS
+RPC round-trip to a Keras/TF GPU process
+(scripts/whole_image_desc_compute_server.py, called from
+src/Cerebro.cpp:263) — with an on-chip batched forward pass. The service's
+contract is preserved: image in, L2-normalized descriptor out; descriptor
+dimension = num_clusters * trunk_dim (4096 by default, matching the 4096-8192
+range of the reference's models).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cerebro_tpu.config import DescriptorConfig
+from cerebro_tpu.models.backbones import MobileTrunk, normalize_image
+from cerebro_tpu.models.netvlad import NetVLAD
+
+
+class DescriptorNet(nn.Module):
+    """End-to-end: normalized image batch -> unit-norm descriptor batch."""
+
+    num_clusters: int = 16
+    trunk_dim: int = 256
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        # images: (B, H, W, C) already normalized to [-1, 1].
+        feats = MobileTrunk(out_dim=self.trunk_dim, dtype=self.dtype)(images)
+        return NetVLAD(num_clusters=self.num_clusters, dtype=self.dtype)(feats)
+
+    @property
+    def descriptor_dim(self) -> int:
+        return self.num_clusters * self.trunk_dim
+
+
+def create_descriptor_model(
+    cfg: DescriptorConfig, seed: int = 0
+) -> Tuple[DescriptorNet, dict]:
+    """Build the net and init params for the configured input geometry.
+
+    Mirrors the reference's zero-image probe that discovers descriptor size
+    at startup (src/Cerebro.cpp:75-120) — here the size is static:
+    num_clusters * trunk_dim.
+    """
+    net = DescriptorNet(
+        num_clusters=cfg.num_clusters,
+        trunk_dim=cfg.trunk_dim,
+        dtype=jnp.dtype(cfg.dtype),
+    )
+    h, w = cfg.image_hw
+    dummy = jnp.zeros((1, h, w, cfg.num_channels), jnp.float32)
+    params = net.init(jax.random.PRNGKey(seed), dummy)
+    return net, params
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def describe_batch(net: DescriptorNet, params, images_u8: jax.Array) -> jax.Array:
+    """uint8 image batch (B,H,W,C) -> (B, D) unit descriptors, on device.
+
+    One fused jit program: normalization + trunk + NetVLAD. Replaces the
+    per-image RPC of ref src/Cerebro.cpp:221-275 with device-side batching.
+    """
+    x = normalize_image(images_u8)
+    return net.apply(params, x)

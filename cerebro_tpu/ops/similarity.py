@@ -1,0 +1,166 @@
+"""Descriptor similarity search: batched scores + masked top-k.
+
+The hot loop of the reference's candidate generator is three sequential
+Eigen GEMVs per 10 Hz tick against the full descriptor history
+(``u = v^T M[:, 0:l-50]``, src/Cerebro.cpp:1019-1032) on CPU. Here the same
+computation is one MXU matmul over a batch of query descriptors against the
+device-resident DB, fused with masking (exclusion window + validity) and
+top-k extraction.
+
+Two implementations:
+  * ``scores_xla`` — a plain jnp einsum; XLA already emits an optimal MXU
+    matmul + fused mask. Used as reference and for CPU tests.
+  * ``scores_pallas`` — a Pallas kernel that tiles the DB over the history
+    axis, keeps the query block resident in VMEM, and fuses scoring +
+    masking + per-tile top-k partials so the (Q, N) score matrix never
+    round-trips to HBM for large N. This is the single-chip building block
+    the sharded search (parallel/sharded_search.py) runs per shard.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def scores_xla(
+    queries: jax.Array,  # (Q, D) unit descriptors
+    db: jax.Array,  # (N, D) descriptor DB (rows may be invalid)
+    valid: jax.Array,  # (N,) bool — row holds a real descriptor
+) -> jax.Array:
+    """(Q, N) dot-product scores with invalid rows at -inf."""
+    s = jnp.einsum(
+        "qd,nd->qn",
+        queries.astype(jnp.bfloat16),
+        db.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.where(valid[None, :], s, NEG_INF)
+
+
+def topk_scores(
+    scores: jax.Array,  # (Q, N)
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k over the history axis. Returns (values (Q,k), indices (Q,k))."""
+    v, i = jax.lax.top_k(scores, k)
+    return v, i
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: tiled scores + argmax, DB-resident streaming
+# ---------------------------------------------------------------------------
+
+# History-axis tile. 512 rows x D cols of bf16 fit comfortably in VMEM
+# alongside the query block for D up to 8192.
+TILE_N = 512
+
+
+def _score_argmax_kernel(q_ref, db_ref, valid_ref, max_ref, arg_ref, scratch_max, scratch_arg):
+    """Grid over history tiles; running (max, argmax) per query row.
+
+    q_ref:    (Q, D) queries, VMEM-resident across the whole grid
+    db_ref:   (TILE_N, D) current DB tile
+    valid_ref:(1, TILE_N) validity mask for the tile (int32 0/1)
+    max_ref:  (Q, 1) out — global max score per query
+    arg_ref:  (Q, 1) out — global argmax index per query
+    """
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        scratch_max[:] = jnp.full_like(scratch_max, NEG_INF)
+        scratch_arg[:] = jnp.zeros_like(scratch_arg)
+
+    s = jax.lax.dot_general(
+        q_ref[:],
+        db_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, TILE_N)
+    s = jnp.where(valid_ref[0, :][None, :] > 0, s, NEG_INF)
+
+    tile_max = jnp.max(s, axis=1, keepdims=True)  # (Q, 1)
+    tile_arg = jnp.argmax(s, axis=1)[:, None] + t * TILE_N  # (Q, 1) global idx
+
+    better = tile_max > scratch_max[:]
+    scratch_arg[:] = jnp.where(better, tile_arg, scratch_arg[:])
+    scratch_max[:] = jnp.where(better, tile_max, scratch_max[:])
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _emit():
+        max_ref[:] = scratch_max[:]
+        arg_ref[:] = scratch_arg[:]
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def max_and_argmax(
+    queries: jax.Array,  # (Q, D)
+    db: jax.Array,  # (N, D), N % TILE_N == 0
+    valid: jax.Array,  # (N,) bool
+    use_pallas: bool = True,
+):
+    """Per-query (max score, argmax index) over the DB — the quantity the
+    reference's detector needs per tick (argmax of u/um/umm plus the max
+    value, src/Cerebro.cpp:1019-1056).
+    """
+    Q, D = queries.shape
+    N = db.shape[0]
+    if not use_pallas or _interpret():
+        s = scores_xla(queries, db, valid)
+        return jnp.max(s, axis=1), jnp.argmax(s, axis=1)
+
+    assert N % TILE_N == 0, f"DB rows {N} must be a multiple of {TILE_N}"
+    grid = (N // TILE_N,)
+    qf = queries.astype(jnp.bfloat16)
+    dbf = db.astype(jnp.bfloat16)
+    vmask = valid.astype(jnp.int32).reshape(1, N)
+
+    mx, ar = pl.pallas_call(
+        _score_argmax_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Q, D), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, D), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N), lambda t: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Q, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Q, 1), jnp.float32),
+            pltpu.VMEM((Q, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Q * N * D, bytes_accessed=N * D * 2 + Q * D * 2, transcendentals=0
+        ),
+    )(qf, dbf, vmask)
+    return mx[:, 0], ar[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def search_topk(
+    queries: jax.Array,  # (Q, D)
+    db: jax.Array,  # (N, D)
+    valid: jax.Array,  # (N,) bool
+    k: int = 5,
+):
+    """Full top-k retrieval (the faiss IndexFlatIP k-NN equivalent,
+    ref src/Cerebro.cpp:460). Returns (values (Q,k), indices (Q,k))."""
+    s = scores_xla(queries, db, valid)
+    return topk_scores(s, k)
