@@ -63,7 +63,7 @@ class LoopConfig:
     consistency_frames: int = 3
     # Descriptor DB capacity (ref statically allocates 29000 columns,
     # src/Cerebro.cpp:946). Must be a multiple of the shard tile (128).
-    db_capacity: int = 29056  # 227 * 128
+    db_capacity: int = 29184  # 57 * 512 — ref 29000 rounded up to the search tile
     # Top-k returned by the sharded retrieval kernel (ref faiss k-NN=5,
     # src/Cerebro.cpp:460).
     top_k: int = 5

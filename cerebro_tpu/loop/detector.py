@@ -1,0 +1,150 @@
+"""Loop-candidate generation: batched similarity + temporal consistency.
+
+Re-implements the behavior of the reference's default candidate generator
+``Cerebro::descrip_N__dot__descrip_0_N`` (src/Cerebro.cpp:903-1103):
+
+  per new descriptor v at global index g, score u = v . M[:, 0:g-50];
+  a loop is declared at g when the argmaxes of the scores of the 3 newest
+  consecutive descriptors (g, g-1, g-2) agree within LOCALITY_THRESH=12
+  frames and max(u) > DOT_PROD_THRESH=0.85 (thresholds at
+  src/Cerebro.cpp:912-914, decision at :1056-1081); the emitted candidate
+  is (t_curr=g, t_prev=argmax, score).
+
+The reference does this for 3 queries per 10 Hz tick, sequentially, on one
+CPU. Here an arbitrary batch of new descriptors is scored in one masked MXU
+matmul (per-query exclusion limits), and the 3-way agreement is computed
+across the batch with a 2-entry carry (argmax/max of the previous two
+queries) so batch boundaries behave exactly like the streaming original.
+
+Everything is fixed-shape and jit-compiled: the output is a dense (B,)
+candidate set with a validity mask, consumed asynchronously by the
+geometric-verification stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cerebro_tpu.config import LoopConfig
+from cerebro_tpu.db.descriptors import DescriptorDB, query_limits
+from cerebro_tpu.ops import similarity
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DetectorState:
+    """Carry across batches: scores of the 2 most recent queries."""
+
+    prev_arg: jax.Array  # (2,) int32 — argmax of queries g-1 (slot 1), g-2 (slot 0)
+    prev_max: jax.Array  # (2,) float32
+    prev_valid: jax.Array  # (2,) bool — those queries existed (stream warm-up)
+
+
+def init_state() -> DetectorState:
+    return DetectorState(
+        prev_arg=jnp.zeros((2,), jnp.int32),
+        prev_max=jnp.full((2,), similarity.NEG_INF, jnp.float32),
+        prev_valid=jnp.zeros((2,), bool),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LoopCandidates:
+    """Dense fixed-shape candidate batch (one slot per query)."""
+
+    curr_idx: jax.Array  # (B,) int32 global frame index of the query
+    prev_idx: jax.Array  # (B,) int32 matched history frame index
+    score: jax.Array  # (B,) float32 max dot product
+    valid: jax.Array  # (B,) bool — passed threshold + 3-way locality test
+
+
+def temporal_consistency(
+    cfg: LoopConfig,
+    state: DetectorState,
+    mx: jax.Array,  # (B,) max score per query
+    ar: jax.Array,  # (B,) argmax index per query
+    global_idx: jax.Array,  # (B,)
+    searchable: jax.Array,  # (B,) bool
+    query_valid: jax.Array,  # (B,) bool
+) -> Tuple[LoopCandidates, DetectorState]:
+    """The 3-way argmax-locality + threshold rule applied over a batch with
+    a 2-entry carry. Shared by the single-chip and sharded search paths."""
+    B = mx.shape[0]
+    mx = jnp.where(searchable, mx, similarity.NEG_INF)
+
+    # Stack carry in front: args[i] corresponds to query position i-2
+    # relative to the batch, so for batch slot j the triple is
+    # (args[j+2], args[j+1], args[j]) == (g_j, g_j-1, g_j-2).
+    args = jnp.concatenate([state.prev_arg, ar])  # (B+2,)
+    maxs = jnp.concatenate([state.prev_max, mx])
+    valids = jnp.concatenate([state.prev_valid, searchable])
+
+    a0 = args[2:]  # current query g
+    a1 = args[1:-1]  # g-1
+    a2 = args[:-2]  # g-2
+    v_all = valids[2:] & valids[1:-1] & valids[:-2]
+
+    # 3-way locality agreement (ref src/Cerebro.cpp:1056: argmax(u),
+    # argmax(um), argmax(umm) within LOCALITY_THRESH of each other).
+    loc = cfg.locality_threshold
+    agree = (
+        (jnp.abs(a0 - a1) < loc)
+        & (jnp.abs(a0 - a2) < loc)
+        & (jnp.abs(a1 - a2) < loc)
+    )
+    strong = maxs[2:] > cfg.dot_threshold
+
+    cands = LoopCandidates(
+        curr_idx=global_idx.astype(jnp.int32),
+        prev_idx=a0,
+        score=maxs[2:],
+        valid=v_all & agree & strong,
+    )
+
+    # New carry: last two REAL queries of this batch. With partial batches
+    # (query_valid False at the tail) shift correctly using n_valid.
+    n_valid = jnp.sum(query_valid.astype(jnp.int32))
+    idx_last = jnp.clip(n_valid - 1, 0, B - 1) + 2  # position in stacked arrays
+    idx_prev = jnp.clip(n_valid - 2, -1, B - 1) + 2
+
+    # Carry update: n_valid==0 keeps [old0, old1]; n_valid==1 shifts to
+    # [old1, new]; n_valid>=2 takes the last two new queries.
+    def carry(arr, old):
+        slot0 = jnp.where(
+            n_valid >= 2, arr[idx_prev], jnp.where(n_valid == 1, old[1], old[0])
+        )
+        slot1 = jnp.where(n_valid > 0, arr[idx_last], old[1])
+        return jnp.stack([slot0, slot1])
+
+    new_state = DetectorState(
+        prev_arg=carry(args, state.prev_arg),
+        prev_max=carry(maxs, state.prev_max),
+        prev_valid=carry(valids, state.prev_valid),
+    )
+    return cands, new_state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def detect_batch(
+    cfg: LoopConfig,
+    db: DescriptorDB,
+    state: DetectorState,
+    queries: jax.Array,  # (B, D) newest descriptors, consecutive
+    global_idx: jax.Array,  # (B,) int32 their global frame indices
+    query_valid: jax.Array,  # (B,) bool — slots holding real descriptors
+    use_pallas: bool = True,
+) -> Tuple[LoopCandidates, DetectorState]:
+    """Score a batch of consecutive new descriptors and apply the 3-way
+    temporal-consistency rule. Returns candidates + updated carry."""
+    limits = query_limits(db, global_idx, cfg.exclusion_window)
+    mx, ar = similarity.max_and_argmax(
+        queries, db.vectors, limits, use_pallas=use_pallas
+    )  # (B,), (B,)
+    searchable = (limits > 0) & query_valid
+    return temporal_consistency(cfg, state, mx, ar, global_idx, searchable, query_valid)

@@ -1,20 +1,26 @@
-"""Descriptor similarity search: batched scores + masked top-k.
+"""Descriptor similarity search: batched scores + masked argmax / top-k.
 
 The hot loop of the reference's candidate generator is three sequential
 Eigen GEMVs per 10 Hz tick against the full descriptor history
 (``u = v^T M[:, 0:l-50]``, src/Cerebro.cpp:1019-1032) on CPU. Here the same
 computation is one MXU matmul over a batch of query descriptors against the
-device-resident DB, fused with masking (exclusion window + validity) and
-top-k extraction.
+device-resident DB, fused with masking (per-query exclusion window +
+validity) and argmax/top-k extraction.
 
 Two implementations:
   * ``scores_xla`` — a plain jnp einsum; XLA already emits an optimal MXU
     matmul + fused mask. Used as reference and for CPU tests.
-  * ``scores_pallas`` — a Pallas kernel that tiles the DB over the history
-    axis, keeps the query block resident in VMEM, and fuses scoring +
-    masking + per-tile top-k partials so the (Q, N) score matrix never
-    round-trips to HBM for large N. This is the single-chip building block
-    the sharded search (parallel/sharded_search.py) runs per shard.
+  * a Pallas kernel that tiles the DB over the history axis, keeps the
+    query block resident in VMEM, and fuses scoring + masking + running
+    argmax so the (Q, N) score matrix never round-trips to HBM for large N.
+    This is the single-chip building block the sharded search
+    (parallel/sharded_search.py) runs per shard.
+
+Masking model: each query q carries ``limit[q]`` — it may only match
+history rows with global index < limit[q]. This encodes the reference's
+50-frame exclusion window (query at global index g scans M[:, 0:g-50],
+src/Cerebro.cpp:914,1026) per query, so a whole batch of new descriptors is
+scored in one dispatch without leaking future rows to older queries.
 """
 
 from __future__ import annotations
@@ -28,6 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# History-axis tile. TILE_N rows x D cols of bf16 fit comfortably in VMEM
+# alongside the query block for D up to 8192.
+TILE_N = 512
+
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
@@ -36,42 +46,31 @@ def _interpret() -> bool:
 def scores_xla(
     queries: jax.Array,  # (Q, D) unit descriptors
     db: jax.Array,  # (N, D) descriptor DB (rows may be invalid)
-    valid: jax.Array,  # (N,) bool — row holds a real descriptor
+    limits: jax.Array,  # (Q,) int32 — query q may match rows < limits[q]
 ) -> jax.Array:
-    """(Q, N) dot-product scores with invalid rows at -inf."""
+    """(Q, N) dot-product scores with masked entries at -inf."""
+    n = db.shape[0]
     s = jnp.einsum(
         "qd,nd->qn",
         queries.astype(jnp.bfloat16),
         db.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
-    return jnp.where(valid[None, :], s, NEG_INF)
-
-
-def topk_scores(
-    scores: jax.Array,  # (Q, N)
-    k: int,
-) -> tuple[jax.Array, jax.Array]:
-    """Top-k over the history axis. Returns (values (Q,k), indices (Q,k))."""
-    v, i = jax.lax.top_k(scores, k)
-    return v, i
+    col = jnp.arange(n, dtype=jnp.int32)[None, :]
+    return jnp.where(col < limits[:, None], s, NEG_INF)
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernel: tiled scores + argmax, DB-resident streaming
+# Pallas kernel: tiled scores + running argmax, DB-streaming
 # ---------------------------------------------------------------------------
 
-# History-axis tile. 512 rows x D cols of bf16 fit comfortably in VMEM
-# alongside the query block for D up to 8192.
-TILE_N = 512
 
-
-def _score_argmax_kernel(q_ref, db_ref, valid_ref, max_ref, arg_ref, scratch_max, scratch_arg):
+def _score_argmax_kernel(q_ref, db_ref, lim_ref, max_ref, arg_ref, scratch_max, scratch_arg):
     """Grid over history tiles; running (max, argmax) per query row.
 
     q_ref:    (Q, D) queries, VMEM-resident across the whole grid
     db_ref:   (TILE_N, D) current DB tile
-    valid_ref:(1, TILE_N) validity mask for the tile (int32 0/1)
+    lim_ref:  (Q, 1) per-query exclusive upper bound on matchable row index
     max_ref:  (Q, 1) out — global max score per query
     arg_ref:  (Q, 1) out — global argmax index per query
     """
@@ -88,7 +87,10 @@ def _score_argmax_kernel(q_ref, db_ref, valid_ref, max_ref, arg_ref, scratch_max
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Q, TILE_N)
-    s = jnp.where(valid_ref[0, :][None, :] > 0, s, NEG_INF)
+
+    q_n = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_n, TILE_N), 1) + t * TILE_N
+    s = jnp.where(col < lim_ref[:], s, NEG_INF)
 
     tile_max = jnp.max(s, axis=1, keepdims=True)  # (Q, 1)
     tile_arg = jnp.argmax(s, axis=1)[:, None] + t * TILE_N  # (Q, 1) global idx
@@ -106,25 +108,24 @@ def _score_argmax_kernel(q_ref, db_ref, valid_ref, max_ref, arg_ref, scratch_max
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
 def max_and_argmax(
     queries: jax.Array,  # (Q, D)
-    db: jax.Array,  # (N, D), N % TILE_N == 0
-    valid: jax.Array,  # (N,) bool
+    db: jax.Array,  # (N, D), N % TILE_N == 0 for the pallas path
+    limits: jax.Array,  # (Q,) int32 exclusive row bound per query
     use_pallas: bool = True,
 ):
     """Per-query (max score, argmax index) over the DB — the quantity the
     reference's detector needs per tick (argmax of u/um/umm plus the max
-    value, src/Cerebro.cpp:1019-1056).
-    """
+    value, src/Cerebro.cpp:1019-1056)."""
     Q, D = queries.shape
     N = db.shape[0]
     if not use_pallas or _interpret():
-        s = scores_xla(queries, db, valid)
+        s = scores_xla(queries, db, limits)
         return jnp.max(s, axis=1), jnp.argmax(s, axis=1)
 
     assert N % TILE_N == 0, f"DB rows {N} must be a multiple of {TILE_N}"
     grid = (N // TILE_N,)
     qf = queries.astype(jnp.bfloat16)
     dbf = db.astype(jnp.bfloat16)
-    vmask = valid.astype(jnp.int32).reshape(1, N)
+    lim = limits.astype(jnp.int32).reshape(Q, 1)
 
     mx, ar = pl.pallas_call(
         _score_argmax_kernel,
@@ -132,7 +133,7 @@ def max_and_argmax(
         in_specs=[
             pl.BlockSpec((Q, D), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_N, D), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((Q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -149,7 +150,7 @@ def max_and_argmax(
         cost_estimate=pl.CostEstimate(
             flops=2 * Q * N * D, bytes_accessed=N * D * 2 + Q * D * 2, transcendentals=0
         ),
-    )(qf, dbf, vmask)
+    )(qf, dbf, lim)
     return mx[:, 0], ar[:, 0]
 
 
@@ -157,10 +158,10 @@ def max_and_argmax(
 def search_topk(
     queries: jax.Array,  # (Q, D)
     db: jax.Array,  # (N, D)
-    valid: jax.Array,  # (N,) bool
+    limits: jax.Array,  # (Q,) int32
     k: int = 5,
 ):
     """Full top-k retrieval (the faiss IndexFlatIP k-NN equivalent,
     ref src/Cerebro.cpp:460). Returns (values (Q,k), indices (Q,k))."""
-    s = scores_xla(queries, db, valid)
-    return topk_scores(s, k)
+    s = scores_xla(queries, db, limits)
+    return jax.lax.top_k(s, k)

@@ -1,0 +1,138 @@
+"""Descriptor-DB search sharded over the device mesh.
+
+This is the sequence-parallel content of the build (SURVEY.md §5.7): the
+ever-growing descriptor history — the reference's single 29 000-column CPU
+matrix (src/Cerebro.cpp:946) — is sharded row-wise across devices. Each
+device scores queries against its local shard with the single-chip kernel
+(ops/similarity.py), then the (max, argmax) / top-k partials are merged
+with one tiny all-gather over ICI. The full (Q, N) score matrix never
+exists on any chip, and per-device HBM traffic drops by 1/n_devices.
+
+Implemented with ``shard_map`` so the collective schedule is explicit; the
+merge payload is O(Q * n_devices), negligible vs the matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cerebro_tpu.config import LoopConfig
+from cerebro_tpu.db.descriptors import DescriptorDB, query_limits
+from cerebro_tpu.loop import detector
+from cerebro_tpu.ops import similarity
+
+
+def shard_db(db: DescriptorDB, mesh: Mesh, axis: str = "db") -> DescriptorDB:
+    """Place the DB with rows sharded over the mesh axis; the count scalar
+    is replicated."""
+    vec_sharding = NamedSharding(mesh, P(axis, None))
+    cnt_sharding = NamedSharding(mesh, P())
+    return DescriptorDB(
+        vectors=jax.device_put(db.vectors, vec_sharding),
+        count=jax.device_put(db.count, cnt_sharding),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "use_pallas"))
+def sharded_max_and_argmax(
+    queries: jax.Array,  # (Q, D) replicated
+    db_vectors: jax.Array,  # (N, D) sharded over rows
+    limits: jax.Array,  # (Q,) int32 global exclusive row bounds
+    mesh: Mesh,
+    axis: str = "db",
+    use_pallas: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Global (max, argmax) per query over the row-sharded DB."""
+    n_total = db_vectors.shape[0]
+    n_dev = mesh.shape[axis]
+    rows_per_shard = n_total // n_dev
+
+    def local(queries, db_shard, limits):
+        my = jax.lax.axis_index(axis)
+        offset = my * rows_per_shard
+        local_limits = jnp.clip(limits - offset, 0, rows_per_shard)
+        mx, ar = similarity.max_and_argmax(
+            queries, db_shard, local_limits, use_pallas=use_pallas
+        )
+        # Shards whose window is empty contribute NEG_INF automatically
+        # (limit 0 masks every column).
+        all_mx = jax.lax.all_gather(mx, axis)  # (n_dev, Q)
+        all_ar = jax.lax.all_gather(ar + offset, axis)
+        best = jnp.argmax(all_mx, axis=0)  # (Q,)
+        gmx = jnp.take_along_axis(all_mx, best[None, :], axis=0)[0]
+        gar = jnp.take_along_axis(all_ar, best[None, :], axis=0)[0]
+        return gmx, gar
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(queries, db_vectors, limits)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "k"))
+def sharded_topk(
+    queries: jax.Array,  # (Q, D) replicated
+    db_vectors: jax.Array,  # (N, D) sharded over rows
+    limits: jax.Array,  # (Q,) int32
+    mesh: Mesh,
+    axis: str = "db",
+    k: int = 5,
+) -> Tuple[jax.Array, jax.Array]:
+    """Distributed top-k retrieval: local top-k per shard, all-gather the
+    k*n_dev partials, re-top-k. Exact for any k <= rows_per_shard."""
+    n_total = db_vectors.shape[0]
+    n_dev = mesh.shape[axis]
+    rows_per_shard = n_total // n_dev
+
+    def local(queries, db_shard, limits):
+        my = jax.lax.axis_index(axis)
+        offset = my * rows_per_shard
+        local_limits = jnp.clip(limits - offset, 0, rows_per_shard)
+        s = similarity.scores_xla(queries, db_shard, local_limits)
+        v, i = jax.lax.top_k(s, k)  # (Q, k)
+        av = jax.lax.all_gather(v, axis, axis=1)  # (Q, n_dev, k)
+        ai = jax.lax.all_gather(i + offset, axis, axis=1)
+        av = av.reshape(queries.shape[0], n_dev * k)
+        ai = ai.reshape(queries.shape[0], n_dev * k)
+        gv, gi = jax.lax.top_k(av, k)
+        return gv, jnp.take_along_axis(ai, gi, axis=1)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(queries, db_vectors, limits)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis", "use_pallas"))
+def detect_batch_sharded(
+    cfg: LoopConfig,
+    db: DescriptorDB,
+    state: detector.DetectorState,
+    queries: jax.Array,
+    global_idx: jax.Array,
+    query_valid: jax.Array,
+    mesh: Mesh,
+    axis: str = "db",
+    use_pallas: bool = True,
+) -> Tuple[detector.LoopCandidates, detector.DetectorState]:
+    """Multi-device variant of loop.detector.detect_batch: sharded search,
+    identical temporal-consistency semantics."""
+    limits = query_limits(db, global_idx, cfg.exclusion_window)
+    mx, ar = sharded_max_and_argmax(
+        queries, db.vectors, limits, mesh, axis=axis, use_pallas=use_pallas
+    )
+    searchable = (limits > 0) & query_valid
+    return detector.temporal_consistency(
+        cfg, state, mx, ar, global_idx, searchable, query_valid
+    )

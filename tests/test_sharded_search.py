@@ -1,0 +1,86 @@
+"""Sharded search must agree exactly with the single-chip path on the
+8-device virtual CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cerebro_tpu.config import LoopConfig
+from cerebro_tpu.db import descriptors as ddb
+from cerebro_tpu.loop import detector
+from cerebro_tpu.ops import similarity
+from cerebro_tpu.parallel import (
+    detect_batch_sharded,
+    make_mesh,
+    shard_db,
+    sharded_max_and_argmax,
+    sharded_topk,
+)
+
+D = 256
+N = 4096  # 512 rows per device on 8 devices
+
+
+def _setup(rng, n_valid=3000):
+    vecs = rng.normal(size=(N, D)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+    db = ddb.DescriptorDB(
+        vectors=jnp.asarray(vecs), count=jnp.asarray(n_valid, jnp.int32)
+    )
+    q = rng.normal(size=(8, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    return db, jnp.asarray(q)
+
+
+def test_sharded_argmax_matches_single_device(rng):
+    mesh = make_mesh()
+    assert mesh.shape["db"] == 8
+    db, q = _setup(rng)
+    limits = jnp.asarray([0, 100, 511, 512, 513, 1024, 2999, 3000], jnp.int32)
+
+    mx_ref, ar_ref = similarity.max_and_argmax(q, db.vectors, limits, use_pallas=False)
+    sdb = shard_db(db, mesh)
+    mx, ar = sharded_max_and_argmax(q, sdb.vectors, limits, mesh)
+
+    np.testing.assert_array_equal(np.asarray(ar)[1:], np.asarray(ar_ref)[1:])
+    np.testing.assert_allclose(np.asarray(mx)[1:], np.asarray(mx_ref)[1:], rtol=1e-5)
+    assert float(mx[0]) <= similarity.NEG_INF  # empty window
+
+
+def test_sharded_topk_matches_single_device(rng):
+    mesh = make_mesh()
+    db, q = _setup(rng)
+    limits = jnp.full((8,), 3000, jnp.int32)
+    v_ref, i_ref = similarity.search_topk(q, db.vectors, limits, k=5)
+    sdb = shard_db(db, mesh)
+    v, i = sharded_topk(q, sdb.vectors, limits, mesh, k=5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-5)
+
+
+def test_detect_batch_sharded_matches_single(rng):
+    mesh = make_mesh()
+    cfg = LoopConfig()
+    # plant a loop: rows 120..123 match rows 10..13
+    vecs = rng.normal(size=(N, D)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+    for i in range(4):
+        vecs[120 + i] = vecs[10 + i]
+    db = ddb.DescriptorDB(vectors=jnp.asarray(vecs), count=jnp.asarray(124, jnp.int32))
+    q = jnp.asarray(vecs[120:124])
+    gidx = jnp.arange(120, 124, dtype=jnp.int32)
+    qvalid = jnp.ones((4,), bool)
+
+    c_ref, s_ref = detector.detect_batch(
+        cfg, db, detector.init_state(), q, gidx, qvalid, use_pallas=False
+    )
+    sdb = shard_db(db, mesh)
+    c, s = detect_batch_sharded(
+        cfg, sdb, detector.init_state(), q, gidx, qvalid, mesh, use_pallas=False
+    )
+    np.testing.assert_array_equal(np.asarray(c.valid), np.asarray(c_ref.valid))
+    np.testing.assert_array_equal(np.asarray(c.prev_idx), np.asarray(c_ref.prev_idx))
+    assert bool(c.valid[2]) and bool(c.valid[3])  # 3rd+4th queries have full triples
+    assert int(c.prev_idx[3]) == 13
