@@ -98,6 +98,9 @@ class VerifyConfig:
     icp_inlier_error: float = 0.1  # metres
     min_inlier_ratio: float = 0.7
     min_points_for_solve: int = 20  # ref src/DlsPnpWithRansac.cpp:19,136
+    # GMS support threshold factor (ref GMSMatcher THRESH_FACTOR=6,
+    # src/utils/GMSMatcher/gms_matcher.h). Lower = more permissive.
+    gms_factor: float = 6.0
     # Depth validity range in metres (ref src/utils/PointFeatureMatching.cpp:125).
     min_depth: float = 0.1
     max_depth: float = 25.0

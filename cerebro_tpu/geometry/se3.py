@@ -191,16 +191,28 @@ def hat(w: jax.Array) -> jax.Array:
     )
 
 
+def _sincos_coeffs(theta2: jax.Array):
+    """Gradient-safe A = sin(t)/t, B = (1-cos t)/t^2, C = (t - sin t)/t^3
+    computed from theta^2. Both branches of each `where` are finite AND have
+    finite derivatives at theta2=0 (the naive norm-based formulation leaks
+    NaN through jacfwd — found by the RANSAC GN refiner)."""
+    small = theta2 < 1e-10
+    t2_safe = jnp.where(small, 1.0, theta2)
+    t_safe = jnp.sqrt(t2_safe)
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(t_safe) / t_safe)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(t_safe)) / t2_safe)
+    C = jnp.where(
+        small, 1.0 / 6.0 - theta2 / 120.0, (t_safe - jnp.sin(t_safe)) / (t2_safe * t_safe)
+    )
+    return A, B, C
+
+
 def so3_exp(w: jax.Array) -> jax.Array:
-    """Rodrigues, with Taylor fallback near zero (jit-safe via where)."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]  # (...,1,1)
+    """Rodrigues, with Taylor fallback near zero (jit- and grad-safe)."""
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
     W = hat(w)
     W2 = W @ W
-    small = theta < 1e-6
-    A = jnp.where(small, 1.0 - theta**2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    B = jnp.where(
-        small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta**2)
-    )
+    A, B, _ = _sincos_coeffs(theta2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + A * W + B * W2
 
@@ -230,18 +242,10 @@ def so3_log(R: jax.Array) -> jax.Array:
 def se3_exp(xi: jax.Array) -> jax.Array:
     """(...,6) twist (v, w) -> (...,4,4) pose."""
     v, w = xi[..., :3], xi[..., 3:]
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
     W = hat(w)
     W2 = W @ W
-    small = theta < 1e-6
-    B = jnp.where(
-        small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta**2)
-    )
-    C = jnp.where(
-        small,
-        1.0 / 6.0 - theta**2 / 120.0,
-        (jnp.where(small, 1.0, theta) - jnp.sin(theta)) / jnp.where(small, 1.0, theta**3),
-    )
+    _, B, C = _sincos_coeffs(theta2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     V = eye + B * W + C * W2
     R = so3_exp(w)
@@ -252,20 +256,14 @@ def se3_exp(xi: jax.Array) -> jax.Array:
 def se3_log(T: jax.Array) -> jax.Array:
     """(...,4,4) pose -> (...,6) twist (v, w)."""
     w = so3_log(T[..., :3, :3])
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
     W = hat(w)
     W2 = W @ W
-    small = theta < 1e-6
+    small = theta2 < 1e-10
+    t2_safe = jnp.where(small, 1.0, theta2)
+    A, B, _ = _sincos_coeffs(theta2)
     # V^{-1} = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2
-    A = jnp.where(small, 1.0 - theta**2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    B = jnp.where(
-        small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta**2)
-    )
-    coef = jnp.where(
-        small,
-        1.0 / 12.0 + theta**2 / 720.0,
-        (1.0 - A / (2.0 * B)) / jnp.where(small, 1.0, theta**2),
-    )
+    coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, (1.0 - A / (2.0 * B)) / t2_safe)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     Vinv = eye - 0.5 * W + coef * W2
     v = jnp.einsum("...ij,...j->...i", Vinv, T[..., :3, 3])

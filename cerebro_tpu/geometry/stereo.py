@@ -1,0 +1,244 @@
+"""Stereo geometry: rectification, block-matching disparity, 3D maps.
+
+TPU-native re-design of the reference's ``StereoGeometry``
+(src/utils/CameraGeometry.{h,cpp}): cv::stereoRectify +
+initUndistortRectifyMap + StereoBM(64,21) + reprojectImageTo3D
+(CameraGeometry.cpp:271-546) become pure-array programs:
+
+  * ``stereo_rectify``     — Bouguet-style rectifying rotations + common
+                             pinhole intrinsics from the two camera models
+                             and the extrinsic ``c1_T_c0``;
+  * ``rectify_map``        — per-pixel source-coordinate map through the
+                             original (distorted) camera model;
+  * ``remap_bilinear``     — gather-based bilinear warp;
+  * ``block_match``        — SAD block matching over a disparity sweep,
+                             expressed as shifted absolute differences + two
+                             separable box filters (VPU/MXU friendly, no
+                             per-pixel loops), with subpixel parabola fit,
+                             uniqueness-ratio and texture validity tests
+                             (parity target StereoBM numDisparities=64,
+                             blockSize=21, CameraGeometry.cpp:81);
+  * ``disparity_to_points``— depth = fx*baseline/d and the (H, W, 3) point
+                             map (reprojectImageTo3D equivalent,
+                             CameraGeometry.cpp:515-546).
+
+All stages jit; the full raw->rectified->disparity->3D pipeline is one
+compiled program per image pair and vmaps over batches of pairs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cerebro_tpu.geometry import cameras as cam_mod
+from cerebro_tpu.geometry import se3
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RectifiedRig:
+    """Everything needed to rectify and triangulate a stereo pair."""
+
+    R0: jax.Array  # (3,3) rectifying rotation for cam0
+    R1: jax.Array  # (3,3) rectifying rotation for cam1
+    fx: jax.Array  # () common focal
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    baseline: jax.Array  # () metres
+
+
+def stereo_rectify(cam0, cam1, c1_T_c0: jax.Array) -> RectifiedRig:
+    """Bouguet rectification: split the relative rotation between both
+    cameras, then align the x-axis with the baseline.
+
+    Equivalent of cv::stereoRectify as used at
+    ref src/utils/CameraGeometry.cpp:271-357."""
+    R = c1_T_c0[:3, :3]
+    t = c1_T_c0[:3, 3]
+
+    # Split rotation: each camera rotates by half of R.
+    w = se3.so3_log(R)
+    R_half_0 = se3.so3_exp(w / 2.0)  # applied to cam0
+    R_half_1 = se3.so3_exp(-w / 2.0)  # applied to cam1
+
+    # Baseline in the "mean" frame: t expressed after cam1's half-rotation.
+    t_mean = R_half_1 @ t
+    # e1 along the baseline (sign so that new x points from cam1 to cam0
+    # consistently); standard choice: e1 = -t/||t|| if t_x < 0.
+    e1 = t_mean / jnp.linalg.norm(t_mean)
+    e1 = jnp.where(t_mean[0] < 0, -e1, e1)
+    e2 = jnp.array([-1.0, 0.0, 0.0]) * e1[1] + jnp.array([0.0, 1.0, 0.0]) * 0.0
+    e2 = jnp.stack([-e1[1], e1[0], 0.0])
+    e2 = e2 / jnp.maximum(jnp.linalg.norm(e2), 1e-9)
+    e3 = jnp.cross(e1, e2)
+    R_align = jnp.stack([e1, e2, e3], axis=0)
+
+    R0 = R_align @ R_half_0
+    R1 = R_align @ R_half_1
+
+    fx = (cam0.fx + cam1.fx) / 2.0
+    fy = (cam0.fy + cam1.fy) / 2.0
+    cx = (cam0.cx + cam1.cx) / 2.0
+    cy = (cam0.cy + cam1.cy) / 2.0
+    baseline = jnp.linalg.norm(t)
+    return RectifiedRig(R0=R0, R1=R1, fx=fx, fy=fy, cx=cx, cy=cy, baseline=baseline)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def rectify_map(cam, R_rect: jax.Array, rig: RectifiedRig, out_hw: Tuple[int, int]):
+    """(H, W, 2) map: rectified pixel -> source pixel in the original
+    distorted image (initUndistortRectifyMap equivalent)."""
+    H, W = out_hw
+    u = jnp.arange(W, dtype=jnp.float32)
+    v = jnp.arange(H, dtype=jnp.float32)
+    uu, vv = jnp.meshgrid(u, v)
+    x = (uu - rig.cx) / rig.fx
+    y = (vv - rig.cy) / rig.fy
+    rays = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)  # (H, W, 3)
+    rays_src = rays @ R_rect  # R_rect^T applied: (H,W,3) @ (3,3) rotates back
+    uv_src = cam_mod.project(cam, rays_src.reshape(-1, 3)).reshape(H, W, 2)
+    return uv_src
+
+
+@jax.jit
+def remap_bilinear(img: jax.Array, map_xy: jax.Array) -> jax.Array:
+    """Bilinear sample img (H, W) at map_xy (..., 2); out-of-range -> 0."""
+    H, W = img.shape
+    x_raw = map_xy[..., 0]
+    y_raw = map_xy[..., 1]
+    # replicate-edge: clamp BEFORE floor so near-border coords use the
+    # correct neighbor pair (floor(-1e-6) would otherwise flip weights)
+    x = jnp.clip(x_raw, 0.0, W - 1.0)
+    y = jnp.clip(y_raw, 0.0, H - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    Ia = img[y0i, x0i]
+    Ib = img[y0i, x1i]
+    Ic = img[y1i, x0i]
+    Id = img[y1i, x1i]
+    out = (
+        Ia * (1 - wx) * (1 - wy)
+        + Ib * wx * (1 - wy)
+        + Ic * (1 - wx) * wy
+        + Id * wx * wy
+    )
+    # half-pixel tolerance at the border (replicate-edge), hard zero beyond
+    inside = (x_raw >= -0.5) & (x_raw <= W - 0.5) & (y_raw >= -0.5) & (y_raw <= H - 0.5)
+    return jnp.where(inside, out, 0.0)
+
+
+def _box(img: jax.Array, size: int) -> jax.Array:
+    k = jnp.ones((size,), img.dtype)
+    out = jax.lax.conv_general_dilated(
+        img[None, None], k[None, None, :, None], (1, 1), "SAME"
+    )
+    out = jax.lax.conv_general_dilated(out, k[None, None, None, :], (1, 1), "SAME")
+    return out[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("num_disp", "block"))
+def block_match(
+    left: jax.Array,  # (H, W) float32 rectified
+    right: jax.Array,  # (H, W) float32 rectified
+    num_disp: int = 64,
+    block: int = 21,
+    uniqueness: float = 0.85,
+    texture_thresh: float = 0.5,
+) -> Tuple[jax.Array, jax.Array]:
+    """SAD block matching. Returns (disparity (H, W) float32, valid (H, W)).
+
+    Cost volume = |L(x,y) - R(x-d,y)| box-filtered (block x block), swept
+    over d in [0, num_disp); winner-take-all + parabola subpixel. Validity:
+    uniqueness ratio test (best SAD < uniqueness * second-best), texture
+    check, and border/d-range exclusion. Parity target: StereoBM(64, 21)
+    at ref CameraGeometry.cpp:81."""
+    H, W = left.shape
+
+    def cost_for(d):
+        shifted = jnp.roll(right, d, axis=1)
+        # columns < d have no valid right pixel
+        col = jnp.arange(W)[None, :]
+        sad = jnp.abs(left - shifted)
+        sad = jnp.where(col >= d, sad, 1e3)
+        return _box(sad, block)
+
+    costs = jax.vmap(cost_for)(jnp.arange(num_disp))  # (D, H, W)
+    costs = jnp.moveaxis(costs, 0, -1)  # (H, W, D)
+
+    best = jnp.argmin(costs, axis=-1)  # (H, W)
+    cmin = jnp.min(costs, axis=-1)
+
+    # subpixel parabola on (d-1, d, d+1)
+    d0 = jnp.clip(best, 1, num_disp - 2)
+    cm = jnp.take_along_axis(costs, (d0 - 1)[..., None], axis=-1)[..., 0]
+    cc = jnp.take_along_axis(costs, d0[..., None], axis=-1)[..., 0]
+    cp = jnp.take_along_axis(costs, (d0 + 1)[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(cm - 2 * cc + cp, 1e-6)
+    delta = jnp.clip(0.5 * (cm - cp) / denom, -1.0, 1.0)
+    disp = d0.astype(jnp.float32) + delta
+
+    # uniqueness: best must beat the field outside +-1 of the winner
+    did = jnp.arange(num_disp)[None, None, :]
+    far = jnp.abs(did - best[..., None]) > 1
+    second = jnp.min(jnp.where(far, costs, jnp.inf), axis=-1)
+    unique_ok = cmin < uniqueness * second
+
+    # texture: require gradient energy in the block
+    gx = left - jnp.roll(left, 1, axis=1)
+    tex = _box(jnp.abs(gx), block)
+    tex_ok = tex > texture_thresh
+
+    col = jnp.arange(W)[None, :]
+    range_ok = (best > 0) & (best < num_disp - 1) & (col >= num_disp)
+    valid = unique_ok & tex_ok & range_ok
+    return disp, valid
+
+
+@jax.jit
+def disparity_to_points(
+    disp: jax.Array,  # (H, W)
+    valid: jax.Array,  # (H, W)
+    rig: RectifiedRig,
+    min_depth: float = 0.1,
+    max_depth: float = 25.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """(H, W, 3) points in the rectified cam0 frame + validity
+    (reprojectImageTo3D + the 0.1-25 m gate of
+    ref src/utils/PointFeatureMatching.cpp:125)."""
+    H, W = disp.shape
+    z = rig.fx * rig.baseline / jnp.maximum(disp, 1e-6)
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    x = (u - rig.cx) * z / rig.fx
+    y = (v - rig.cy) * z / rig.fy
+    pts = jnp.stack([jnp.broadcast_to(x, (H, W)), jnp.broadcast_to(y, (H, W)), z], axis=-1)
+    ok = valid & (z > min_depth) & (z < max_depth)
+    return pts, ok
+
+
+@functools.partial(jax.jit, static_argnames=("num_disp", "block"))
+def depth_pipeline_rectified(
+    left: jax.Array,
+    right: jax.Array,
+    rig: RectifiedRig,
+    num_disp: int = 64,
+    block: int = 21,
+):
+    """rectified pair -> (points (H,W,3), valid (H,W), disparity). The
+    'srectified -> disparity -> 3d map' convenience stack of
+    ref CameraGeometry.h:94-231."""
+    disp, dvalid = block_match(left, right, num_disp=num_disp, block=block)
+    pts, ok = disparity_to_points(disp, dvalid, rig)
+    return pts, ok, disp

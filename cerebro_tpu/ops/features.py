@@ -1,0 +1,299 @@
+"""Point-feature extraction + matching as fixed-shape batched kernels.
+
+Behavioral equivalent of the reference's
+``StaticPointFeatureMatching::gms_point_feature_matches``
+(src/utils/PointFeatureMatching.cpp:5-72): ORB x 5000 keypoints on both
+images, brute-force Hamming matching, then the GMS (grid motion statistics)
+spatial-consistency filter (vendored src/utils/GMSMatcher/, 20x20 grid,
+THRESH_FACTOR 6). Output contract preserved: matched pixel coordinates in
+both images plus a validity mask; downstream gates (>=150 attempt, >800
+accept) consume the match count.
+
+TPU-first redesign (not a port of ORB):
+  * corners  — Harris response from Sobel gradients (pure convs on the VPU),
+    spatial NMS via max-pool, top-K selection (static K);
+  * descriptors — normalized image patches around each corner projected by a
+    fixed random matrix to D dims (one gather + one MXU matmul; plays the
+    role of rBRIEF);
+  * matching — cosine scores as a single (K x K) matmul + mutual-nearest
+    with ratio test;
+  * GMS filter — scatter matches into a cell-pair count tensor, 3x3x3x3
+    neighborhood aggregation as two separable box convs, per-match support
+    thresholded at ``factor * sqrt(mean support)`` like the reference's
+    THRESH_FACTOR=6 rule (GMSMatcher/gms_matcher.h:9-46).
+
+Everything is static-shape: K corners, K matches, masks for validity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Small conv helpers (VPU-friendly separable filters)
+# ---------------------------------------------------------------------------
+
+
+def _conv2(img: jax.Array, kern: jax.Array) -> jax.Array:
+    """'same' 2D convolution of (H, W) with (kh, kw)."""
+    return jax.lax.conv_general_dilated(
+        img[None, None],
+        kern[None, None],
+        window_strides=(1, 1),
+        padding="SAME",
+    )[0, 0]
+
+
+def _box_filter(img: jax.Array, size: int) -> jax.Array:
+    k = jnp.ones((size,), img.dtype)
+    out = jax.lax.conv_general_dilated(
+        img[None, None], k[None, None, :, None], (1, 1), "SAME"
+    )
+    out = jax.lax.conv_general_dilated(out, k[None, None, None, :], (1, 1), "SAME")
+    return out[0, 0]
+
+
+_SOBEL_X = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
+_SOBEL_Y = _SOBEL_X.T
+
+
+# ---------------------------------------------------------------------------
+# Harris corners + top-K with NMS
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Keypoints:
+    xy: jax.Array  # (K, 2) float32 pixel coords (x, y)
+    score: jax.Array  # (K,) float32 corner response
+    valid: jax.Array  # (K,) bool
+
+
+@functools.partial(jax.jit, static_argnames=("max_kp", "nms_radius", "border"))
+def harris_corners(
+    img: jax.Array,  # (H, W) float32 grayscale
+    max_kp: int = 1024,
+    nms_radius: int = 4,
+    k: float = 0.04,
+    border: int = 16,
+) -> Keypoints:
+    """Harris corner top-K with max-pool NMS. Plays the role of the
+    reference's ORB/FAST detector (FAST thresh 0, 5000 kp,
+    src/utils/PointFeatureMatching.cpp:21)."""
+    H, W = img.shape
+    gx = _conv2(img, _SOBEL_X)
+    gy = _conv2(img, _SOBEL_Y)
+    gxx = _box_filter(gx * gx, 5)
+    gyy = _box_filter(gy * gy, 5)
+    gxy = _box_filter(gx * gy, 5)
+    det = gxx * gyy - gxy * gxy
+    tr = gxx + gyy
+    resp = det - k * tr * tr
+
+    # NMS: keep only local maxima in a (2r+1)^2 window
+    size = 2 * nms_radius + 1
+    pooled = jax.lax.reduce_window(
+        resp, -jnp.inf, jax.lax.max, (size, size), (1, 1), "SAME"
+    )
+    is_max = resp >= pooled
+
+    # suppress borders (patch extraction needs margin)
+    row = jnp.arange(H)[:, None]
+    col = jnp.arange(W)[None, :]
+    inside = (row >= border) & (row < H - border) & (col >= border) & (col < W - border)
+
+    masked = jnp.where(is_max & inside, resp, -jnp.inf)
+    flat = masked.reshape(-1)
+    scores, idx = jax.lax.top_k(flat, max_kp)
+    ys = (idx // W).astype(jnp.float32)
+    xs = (idx % W).astype(jnp.float32)
+    # adaptive validity: positive response only
+    valid = scores > 0
+    return Keypoints(xy=jnp.stack([xs, ys], axis=-1), score=scores, valid=valid)
+
+
+# ---------------------------------------------------------------------------
+# Patch descriptors
+# ---------------------------------------------------------------------------
+
+
+def _extract_patches(img: jax.Array, xy: jax.Array, patch: int) -> jax.Array:
+    """(K, patch*patch) patches centered on integer keypoint coords."""
+    half = patch // 2
+    H, W = img.shape
+    x0 = jnp.clip(xy[:, 0].astype(jnp.int32) - half, 0, W - patch)
+    y0 = jnp.clip(xy[:, 1].astype(jnp.int32) - half, 0, H - patch)
+
+    dy = jnp.arange(patch)
+    dx = jnp.arange(patch)
+    rows = y0[:, None, None] + dy[None, :, None]  # (K, p, 1)
+    cols = x0[:, None, None] + dx[None, None, :]  # (K, 1, p)
+    return img[rows, cols].reshape(xy.shape[0], patch * patch)
+
+
+@functools.partial(jax.jit, static_argnames=("patch", "dim"))
+def patch_descriptors(
+    img: jax.Array,  # (H, W) float32
+    kps: Keypoints,
+    patch: int = 16,
+    dim: int = 128,
+) -> jax.Array:
+    """(K, dim) unit descriptors: mean/std-normalized patches projected by a
+    fixed random matrix (rBRIEF's role, MXU-shaped)."""
+    p = _extract_patches(img, kps.xy, patch)  # (K, p*p)
+    p = p - jnp.mean(p, axis=-1, keepdims=True)
+    p = p / (jnp.linalg.norm(p, axis=-1, keepdims=True) + 1e-6)
+    proj = jax.random.normal(jax.random.PRNGKey(42), (patch * patch, dim)) / jnp.sqrt(
+        float(patch * patch)
+    )
+    d = jnp.dot(p, proj, preferred_element_type=jnp.float32)
+    return d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Mutual-NN matching
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Matches:
+    """Fixed-shape match set between images a and b (K slots, masked)."""
+
+    xy_a: jax.Array  # (K, 2)
+    xy_b: jax.Array  # (K, 2)
+    idx_b: jax.Array  # (K,) index into b's keypoints for each a keypoint
+    valid: jax.Array  # (K,) bool
+
+    def count(self) -> jax.Array:
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+@jax.jit
+def mutual_nn_match(
+    desc_a: jax.Array,  # (K, D)
+    desc_b: jax.Array,  # (K, D)
+    kps_a: Keypoints,
+    kps_b: Keypoints,
+    min_score: float = 0.5,
+) -> Matches:
+    """Cosine-similarity mutual nearest neighbors (the BFMatcher stand-in,
+    one MXU matmul)."""
+    s = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)  # (K, K)
+    s = jnp.where(kps_a.valid[:, None] & kps_b.valid[None, :], s, -2.0)
+    best_b = jnp.argmax(s, axis=1)  # for each a
+    best_a = jnp.argmax(s, axis=0)  # for each b
+    score = jnp.max(s, axis=1)
+    mutual = best_a[best_b] == jnp.arange(s.shape[0])
+    valid = mutual & (score > min_score) & kps_a.valid
+    return Matches(
+        xy_a=kps_a.xy,
+        xy_b=kps_b.xy[best_b],
+        idx_b=best_b,
+        valid=valid,
+    )
+
+
+# ---------------------------------------------------------------------------
+# GMS grid motion statistics filter
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("image_hw", "grid", "factor"))
+def gms_filter(
+    matches: Matches,
+    image_hw: Tuple[int, int],
+    grid: Tuple[int, int] = (16, 24),  # (rows, cols), ~matches ref 20x20 cells
+    factor: float = 6.0,  # ref GMSMatcher THRESH_FACTOR=6
+) -> Matches:
+    """Keep matches whose cell-pair neighborhood has enough supporting
+    matches: support_i > factor * sqrt(mean_support). Re-expresses the GMS
+    motion-statistics test (src/utils/GMSMatcher/gms_matcher.h) as a
+    scatter + two 3x3 box convolutions over the 4D cell-pair tensor."""
+    H, W = image_hw
+    gr, gc = grid
+    ch = H / gr
+    cw = W / gc
+
+    ra = jnp.clip((matches.xy_a[:, 1] / ch).astype(jnp.int32), 0, gr - 1)
+    ca = jnp.clip((matches.xy_a[:, 0] / cw).astype(jnp.int32), 0, gc - 1)
+    rb = jnp.clip((matches.xy_b[:, 1] / ch).astype(jnp.int32), 0, gr - 1)
+    cb = jnp.clip((matches.xy_b[:, 0] / cw).astype(jnp.int32), 0, gc - 1)
+
+    w = matches.valid.astype(jnp.float32)
+    counts = jnp.zeros((gr, gc, gr, gc), jnp.float32)
+    counts = counts.at[ra, ca, rb, cb].add(w)
+
+    # neighborhood aggregation: 3x3 box over (ra, ca) then over (rb, cb)
+    k3 = jnp.ones((3, 3), jnp.float32)
+
+    def box4(x):
+        # box over first two dims
+        x1 = jax.lax.conv_general_dilated(
+            x.reshape(gr, gc, -1).transpose(2, 0, 1)[:, None],
+            k3[None, None],
+            (1, 1),
+            "SAME",
+        )[:, 0].transpose(1, 2, 0).reshape(gr, gc, gr, gc)
+        # box over last two dims
+        x2 = jax.lax.conv_general_dilated(
+            x1.reshape(-1, gr, gc)[:, None],
+            k3[None, None],
+            (1, 1),
+            "SAME",
+        )[:, 0].reshape(gr, gc, gr, gc)
+        return x2
+
+    support = box4(counts)  # (gr, gc, gr, gc)
+    s_i = support[ra, ca, rb, cb] - 1.0  # exclude the match itself
+
+    # threshold: factor * sqrt(mean matches per occupied source cell region)
+    n_total = jnp.maximum(jnp.sum(w), 1.0)
+    src_occ = jnp.zeros((gr, gc), jnp.float32).at[ra, ca].add(w)
+    n_occupied = jnp.maximum(jnp.sum((src_occ > 0).astype(jnp.float32)), 1.0)
+    mean_per_cell = n_total / n_occupied
+    thresh = factor * jnp.sqrt(mean_per_cell)
+
+    keep = matches.valid & (s_i > thresh)
+    return Matches(
+        xy_a=matches.xy_a, xy_b=matches.xy_b, idx_b=matches.idx_b, valid=keep
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full front-end: the gms_point_feature_matches equivalent
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("max_kp", "gms_factor", "blur"))
+def match_image_pair(
+    img_a: jax.Array,  # (H, W) float32
+    img_b: jax.Array,  # (H, W) float32
+    max_kp: int = 1024,
+    gms_factor: float = 6.0,
+    blur: int = 5,
+) -> Matches:
+    """corners -> descriptors -> mutual NN -> GMS. One jit program.
+
+    Corners are detected on the sharp image; descriptors are extracted from
+    a box-blurred copy (ORB similarly smooths before rBRIEF sampling —
+    robustness to the sub-pixel resampling between viewpoints).
+
+    Parity anchor: ref gms_point_feature_matches
+    (src/utils/PointFeatureMatching.cpp:5-72) returning the match sets the
+    >=150 / >800 count gates are applied to."""
+    ka = harris_corners(img_a, max_kp=max_kp)
+    kb = harris_corners(img_b, max_kp=max_kp)
+    sa = _box_filter(img_a, blur) / float(blur * blur)
+    sb = _box_filter(img_b, blur) / float(blur * blur)
+    da = patch_descriptors(sa, ka)
+    db = patch_descriptors(sb, kb)
+    m = mutual_nn_match(da, db, ka, kb)
+    return gms_filter(m, img_a.shape, factor=gms_factor)

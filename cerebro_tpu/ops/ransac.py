@@ -1,0 +1,181 @@
+"""vmap'd RANSAC: all hypotheses solved in parallel as one batched kernel.
+
+The reference runs theia's sequential RANSAC (5-50 iterations, min inlier
+ratio 0.7, MLE scoring — src/DlsPnpWithRansac.cpp:88-93,206-212) on one
+CPU core per candidate. TPU-native design: draw H hypothesis minimal
+samples up front, solve all H minimal problems with one vmap'd batched
+solver (12x12 eigh / 3x3 svd batches), score all H x N residuals with one
+matmul-shaped reduction, pick the best, then refit on its inlier set.
+Fixed shapes throughout; masked correspondences ride weight vectors.
+
+This is SURVEY.md §7 step 4's "vmap'd RANSAC" and hard part (a).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cerebro_tpu.ops import pnp, umeyama
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RansacResult:
+    T: jax.Array  # (4, 4) best model (b_T_a)
+    inliers: jax.Array  # (N,) bool inlier mask of the best model
+    inlier_count: jax.Array  # () int32
+    n_valid: jax.Array  # () int32 valid input correspondences
+    confidence: jax.Array  # () float32 — inlier_count / n_valid
+    success: jax.Array  # () bool — enough points + inlier ratio
+
+
+def _sample_indices(
+    key: jax.Array, n_points: int, valid: jax.Array, n_hyp: int, sample_size: int
+) -> jax.Array:
+    """(H, S) random indices drawn (approximately without replacement)
+    from valid rows. Uses Gumbel top-k over the validity mask so every
+    hypothesis samples distinct points; invalid rows get -inf weight."""
+    g = jax.random.gumbel(key, (n_hyp, n_points))
+    g = jnp.where(valid[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(g, sample_size)  # distinct per hypothesis
+    return idx
+
+
+def _run(
+    key: jax.Array,
+    solver: Callable[[jax.Array, jax.Array, jax.Array], jax.Array],
+    error_fn: Callable[[jax.Array], jax.Array],
+    refit: Callable[[jax.Array], jax.Array],
+    A: jax.Array,  # (N, 3) source points
+    Bp: jax.Array,  # (N, 2 or 3) targets
+    valid: jax.Array,  # (N,) bool
+    n_hyp: int,
+    sample_size: int,
+    inlier_thresh: float,
+    min_inlier_ratio: float,
+    min_points: int,
+) -> RansacResult:
+    n = A.shape[0]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+
+    idx = _sample_indices(key, n, valid, n_hyp, sample_size)  # (H, S)
+    sample_w = jnp.ones((n_hyp, sample_size), A.dtype)
+
+    Ts = jax.vmap(solver)(A[idx], Bp[idx], sample_w)  # (H, 4, 4)
+    errs = jax.vmap(error_fn)(Ts)  # (H, N)
+    inl = (errs < inlier_thresh) & valid[None, :]
+    counts = jnp.sum(inl.astype(jnp.int32), axis=1)  # (H,)
+
+    # Guard degenerate hypotheses (NaN poses count zero inliers by masking).
+    finite = jnp.all(jnp.isfinite(Ts.reshape(n_hyp, -1)), axis=1)
+    counts = jnp.where(finite, counts, 0)
+
+    best = jnp.argmax(counts)
+    best_inl = inl[best]
+
+    # Refit on the best inlier set (weighted least squares), then rescore —
+    # the local-optimization step sequential RANSAC gets from MLE scoring.
+    T_ref = refit(best_inl.astype(A.dtype))
+    ref_err = error_fn(T_ref)
+    ref_inl = (ref_err < inlier_thresh) & valid
+    ref_count = jnp.sum(ref_inl.astype(jnp.int32))
+
+    use_ref = jnp.all(jnp.isfinite(T_ref)) & (ref_count >= counts[best])
+    T_best = jnp.where(use_ref, T_ref, Ts[best])
+    inl_best = jnp.where(use_ref, ref_inl, best_inl)
+    cnt_best = jnp.where(use_ref, ref_count, counts[best])
+
+    conf = cnt_best.astype(jnp.float32) / jnp.maximum(n_valid, 1).astype(jnp.float32)
+    success = (
+        (n_valid >= min_points)
+        & (conf >= min_inlier_ratio)
+        & jnp.all(jnp.isfinite(T_best))
+    )
+    return RansacResult(
+        T=T_best,
+        inliers=inl_best,
+        inlier_count=cnt_best,
+        n_valid=n_valid,
+        confidence=conf,
+        success=success,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_hyp", "sample_size", "min_points", "refine_iters"),
+)
+def ransac_pnp(
+    key: jax.Array,
+    X: jax.Array,  # (N, 3) 3D points in frame A
+    x: jax.Array,  # (N, 2) normalized image coords in frame B
+    valid: jax.Array,  # (N,) bool
+    n_hyp: int = 256,
+    sample_size: int = 6,
+    inlier_thresh: float = 0.03,  # ref src/DlsPnpWithRansac.cpp:206
+    min_inlier_ratio: float = 0.7,  # ref :208
+    min_points: int = 20,  # ref :136
+    refine_iters: int = 5,
+) -> RansacResult:
+    """3D-2D pose (the reference's StaticTheiaPoseCompute::PNP,
+    src/DlsPnpWithRansac.cpp:188-241). Returns b_T_a."""
+
+    def solver(Xs, xs, ws):
+        return pnp.pnp_dlt(Xs, xs, ws)
+
+    def error_fn(T):
+        return pnp.reprojection_error(T, X, x)
+
+    def refit(w):
+        T0 = pnp.pnp_dlt(X, x, w)
+        return pnp.pnp_refine_gn(T0, X, x, w, iters=refine_iters)
+
+    return _run(
+        key, solver, error_fn, refit, X, x, valid,
+        n_hyp, sample_size, inlier_thresh, min_inlier_ratio, min_points,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_hyp", "sample_size", "min_points"),
+)
+def ransac_icp(
+    key: jax.Array,
+    P: jax.Array,  # (N, 3) points in frame A
+    Q: jax.Array,  # (N, 3) corresponding points in frame B
+    valid: jax.Array,  # (N,) bool
+    n_hyp: int = 256,
+    sample_size: int = 4,
+    inlier_thresh: float = 0.1,  # ref src/DlsPnpWithRansac.cpp:88 (P3P_ICP err)
+    min_inlier_ratio: float = 0.7,
+    min_points: int = 20,  # ref :19
+    scale_sanity: float = 0.9,  # ref src/DlsPnpWithRansac.h:117-166
+) -> RansacResult:
+    """3D-3D alignment (the reference's
+    AlignPointCloudsUmeyamaWithRansac / StaticTheiaPoseCompute::P3P_ICP,
+    src/DlsPnpWithRansac.cpp:73-121). Returns b_T_a with Q ~= T * P."""
+
+    def solver(Ps, Qs, ws):
+        T, scale = umeyama.umeyama_rigid(Ps, Qs, ws)
+        # scale sanity: far-from-rigid samples are degenerate
+        s = jnp.minimum(scale, 1.0 / jnp.maximum(scale, 1e-9))
+        return jnp.where(s > scale_sanity, T, jnp.full_like(T, jnp.nan))
+
+    def error_fn(T):
+        pred = P @ T[:3, :3].T + T[:3, 3]
+        return jnp.linalg.norm(Q - pred, axis=-1)
+
+    def refit(w):
+        T, _ = umeyama.umeyama_rigid(P, Q, w)
+        return T
+
+    return _run(
+        key, solver, error_fn, refit, P, Q, valid,
+        n_hyp, sample_size, inlier_thresh, min_inlier_ratio, min_points,
+    )

@@ -50,5 +50,5 @@ def umeyama_rigid(
 def alignment_error(T: jax.Array, src: jax.Array, dst: jax.Array) -> jax.Array:
     """Per-point Euclidean residual ||dst - T*src|| — the RANSAC inlier
     metric for 3D-3D (ref error thresh 0.1 m, src/DlsPnpWithRansac.cpp:88)."""
-    pred = se3.transform_points(T, src[None])[0] if src.ndim == 2 else None
+    pred = src @ T[..., :3, :3].swapaxes(-1, -2) + T[..., None, :3, 3]
     return jnp.linalg.norm(dst - pred, axis=-1)

@@ -1,0 +1,7 @@
+from cerebro_tpu.posegraph.optimizer import (  # noqa: F401
+    PoseGraph,
+    initialize_worlds,
+    optimize,
+    poses_from_xyzyaw,
+    relative_yaw_t,
+)

@@ -1,0 +1,249 @@
+"""Switch-constrained pose-graph optimizer (Gauss-Newton, matrix-free CG).
+
+This brings the capability of the reference's *external* pose-graph solver
+(mpkuse/solve_keyframe_pose_graph — switch-constrained, kidnap-aware
+multi-world merge, ref README.md:176-194) in-framework, TPU-native:
+
+  * 4-DOF state per keyframe: (x, y, z, yaw) — VINS-Fusion drift lives in
+    exactly these dims (pitch/roll observable from gravity), matching the
+    reference ecosystem's 4-DOF pose graph and its ceres fallback solver
+    parameterization (src/PNPCeresCostFunctions.h:76-174);
+  * odometry edges (consecutive, within a world) + loop edges with
+    Sünderhauf-style switch variables: loop residual scaled by s in [0,1],
+    prior (1-s) * switch_prior_weight — outlier edges switch off smoothly;
+  * multi-world: after each kidnap the trajectory continues in a new world
+    frame; cross-world loop edges pull worlds into one frame during
+    optimization (the reference's multi-session merge);
+  * solver: damped Gauss-Newton; the normal equations are solved matrix-
+    free with conjugate gradients where J^T J v is evaluated via one
+    jvp + one vjp of the residual function — no sparse matrix assembly, no
+    per-edge Jacobian blocks, fully jit-compiled. Distribution over devices
+    shards the residual (edge) axis; CG's reductions become psums.
+
+Everything is fixed-shape: E_odo odometry edges, E_loop loop edges, masks
+for validity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cerebro_tpu.config import PoseGraphConfig
+from cerebro_tpu.geometry import se3
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PoseGraph:
+    """Problem container (fixed shapes; masked edges)."""
+
+    # nodes
+    xyzyaw: jax.Array  # (N, 4) initial state per keyframe
+    node_valid: jax.Array  # (N,) bool
+    # odometry edges i -> j (usually j = i+1 in the same world)
+    odo_i: jax.Array  # (Eo,) int32
+    odo_j: jax.Array  # (Eo,) int32
+    odo_meas: jax.Array  # (Eo, 4) measured (dx, dy, dz, dyaw) in frame i
+    odo_valid: jax.Array  # (Eo,) bool
+    # loop edges a -> b with switch variables
+    loop_i: jax.Array  # (El,) int32
+    loop_j: jax.Array  # (El,) int32
+    loop_meas: jax.Array  # (El, 4) measured (dx, dy, dz, dyaw) in frame i
+    loop_valid: jax.Array  # (El,) bool
+
+
+def relative_yaw_t(T_i: jax.Array, T_j: jax.Array) -> jax.Array:
+    """4-DOF measurement (dx, dy, dz, dyaw) of j in i's frame from 4x4
+    poses (used to build edges from VINS odometry / verified loops)."""
+    D = se3.pose_inverse(T_i) @ T_j
+    dyaw = se3.rot_to_ypr(D[..., :3, :3])[..., 0]
+    return jnp.concatenate([D[..., :3, 3], dyaw[..., None]], axis=-1)
+
+
+def _wrap(a: jax.Array) -> jax.Array:
+    return jnp.arctan2(jnp.sin(a), jnp.cos(a))
+
+
+def _rotz(yaw: jax.Array) -> jax.Array:
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    z = jnp.zeros_like(yaw)
+    o = jnp.ones_like(yaw)
+    return jnp.stack(
+        [
+            jnp.stack([c, -s, z], axis=-1),
+            jnp.stack([s, c, z], axis=-1),
+            jnp.stack([z, z, o], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def _edge_residual(x: jax.Array, ei, ej, meas):
+    """4-DOF between-edge residual, vectorized over edges."""
+    xi = x[ei]  # (E, 4)
+    xj = x[ej]
+    Ri_T = jnp.swapaxes(_rotz(xi[:, 3]), -1, -2)  # (E, 3, 3)
+    dt_pred = jnp.einsum("eij,ej->ei", Ri_T, xj[:, :3] - xi[:, :3])
+    dyaw_pred = xj[:, 3] - xi[:, 3]
+    r_t = dt_pred - meas[:, :3]
+    r_y = _wrap(dyaw_pred - meas[:, 3])
+    return jnp.concatenate([r_t, r_y[:, None]], axis=-1)  # (E, 4)
+
+
+def _residuals(params, graph: PoseGraph, cfg: PoseGraphConfig):
+    """Full stacked residual vector (flat)."""
+    x = params["x"]  # (N, 4)
+    s = jax.nn.sigmoid(params["s_logit"])  # (El,) switches in (0, 1)
+
+    r_odo = _edge_residual(x, graph.odo_i, graph.odo_j, graph.odo_meas)
+    r_odo = r_odo * graph.odo_valid[:, None]
+
+    r_loop = _edge_residual(x, graph.loop_i, graph.loop_j, graph.loop_meas)
+    r_loop = r_loop * (s * graph.loop_valid)[:, None]
+
+    r_switch = (1.0 - s) * cfg.switch_prior_weight * graph.loop_valid
+
+    # gauge: pin node 0 to its initial value (not the origin — worlds may
+    # start anywhere)
+    r_gauge = 10.0 * (x[0] - graph.xyzyaw[0])
+
+    return jnp.concatenate(
+        [r_odo.reshape(-1), r_loop.reshape(-1), r_switch, r_gauge]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def optimize(
+    graph: PoseGraph, cfg: PoseGraphConfig
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Run damped GN. Returns (xyzyaw (N,4), switches (El,), final cost).
+
+    Matrix-free: each CG matvec evaluates J^T J v with one jvp and one vjp
+    of the residual function — XLA fuses the whole solve into one program.
+    """
+    params0 = {
+        "x": graph.xyzyaw,
+        "s_logit": jnp.full(graph.loop_i.shape, 2.0),  # sigmoid(2) ~ 0.88
+    }
+
+    def res_fn(p):
+        return _residuals(p, graph, cfg)
+
+    def gn_step(_, params):
+        r, vjp_fn = jax.vjp(res_fn, params)
+
+        def jtj_matvec(v):
+            _, jv = jax.jvp(res_fn, (params,), (v,))
+            jtv = vjp_fn(jv)[0]
+            return jax.tree.map(lambda a, b: a + cfg.damping * b, jtv, v)
+
+        g = vjp_fn(r)[0]
+
+        dx, _ = jax.scipy.sparse.linalg.cg(
+            jtj_matvec, jax.tree.map(jnp.negative, g), maxiter=cfg.cg_iters
+        )
+        return jax.tree.map(lambda p, d: p + d, params, dx)
+
+    params = jax.lax.fori_loop(0, cfg.max_gn_iters, gn_step, params0)
+    r = res_fn(params)
+    return params["x"], jax.nn.sigmoid(params["s_logit"]), 0.5 * jnp.sum(r * r)
+
+
+def poses_from_xyzyaw(x: jax.Array) -> jax.Array:
+    """(N, 4) -> (N, 4, 4) w_T_c poses (yaw-only rotation)."""
+    return se3.yaw_translation_pose(x[..., 3], x[..., :3])
+
+
+# ---------------------------------------------------------------------------
+# Multi-world re-anchoring
+# ---------------------------------------------------------------------------
+
+
+def _comp4(a, b):
+    """4-DOF compose: pose of (b in a's parent frame) given b in a's frame."""
+    c, s = jnp.cos(a[..., 3]), jnp.sin(a[..., 3])
+    t = jnp.stack(
+        [
+            a[..., 0] + c * b[..., 0] - s * b[..., 1],
+            a[..., 1] + s * b[..., 0] + c * b[..., 1],
+            a[..., 2] + b[..., 2],
+        ],
+        axis=-1,
+    )
+    return jnp.concatenate([t, (a[..., 3] + b[..., 3])[..., None]], axis=-1)
+
+
+def _inv4(a):
+    c, s = jnp.cos(a[..., 3]), jnp.sin(a[..., 3])
+    t = jnp.stack(
+        [
+            -(c * a[..., 0] + s * a[..., 1]),
+            -(-s * a[..., 0] + c * a[..., 1]),
+            -a[..., 2],
+        ],
+        axis=-1,
+    )
+    return jnp.concatenate([t, (-a[..., 3])[..., None]], axis=-1)
+
+
+def initialize_worlds(
+    xyzyaw,  # (N, 4) numpy — initial states, later worlds mis-anchored
+    world_id,  # (N,) int — world segment per node
+    loop_i,
+    loop_j,
+    loop_meas,  # (El, 4) measurement: pose of node j in node i's frame
+    loop_valid,
+):
+    """Re-anchor each world onto the frame of the earliest world it shares a
+    verified loop edge with, chaining transitively (host-side, runs once
+    before ``optimize``).
+
+    This is the reference ecosystem's kidnap-recovery merge step: the
+    pose-graph solver initializes a new world's anchor from the first
+    cross-world loop edge (ref README.md:177-186). Without it, switch
+    variables prefer disabling cross-world edges over moving an entire
+    world — a local minimum of the switchable-constraint objective.
+    """
+    import numpy as np
+
+    x = np.array(xyzyaw, np.float32)
+    wid = np.asarray(world_id)
+    worlds = sorted(set(int(w) for w in np.unique(wid)))
+    anchored = {worlds[0]} if worlds else set()
+
+    edges = [
+        (int(loop_i[k]), int(loop_j[k]), np.asarray(loop_meas[k], np.float32))
+        for k in range(len(loop_i))
+        if bool(loop_valid[k])
+    ]
+
+    changed = True
+    while changed:
+        changed = False
+        for i, j, m in edges:
+            wi, wj = int(wid[i]), int(wid[j])
+            if wi == wj:
+                continue
+            # orient: known world -> unknown world
+            if wj in anchored and wi not in anchored:
+                # pose of j (anchored frame) and of j predicted in wi's frame
+                xj_anch = jnp.asarray(x[j])
+                xj_in_wi = _comp4(jnp.asarray(x[i]), jnp.asarray(m))
+                W = _comp4(xj_anch, _inv4(xj_in_wi))  # wi-frame -> anchored
+                mask = wid == wi
+                x[mask] = np.asarray(_comp4(jnp.asarray(W), jnp.asarray(x[mask])))
+                anchored.add(wi)
+                changed = True
+            elif wi in anchored and wj not in anchored:
+                xj_in_wi = _comp4(jnp.asarray(x[i]), jnp.asarray(m))
+                W = _comp4(xj_in_wi, _inv4(jnp.asarray(x[j])))
+                mask = wid == wj
+                x[mask] = np.asarray(_comp4(jnp.asarray(W), jnp.asarray(x[mask])))
+                anchored.add(wj)
+                changed = True
+    return x

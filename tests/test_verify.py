@@ -1,0 +1,134 @@
+"""End-to-end geometric verification on a rendered synthetic scene:
+two textured planes at different depths, two stereo viewpoints with known
+relative pose. Mirrors the reference's offline keyframe-pair testing
+(unittest_theia.cpp) but with exact ground truth."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cerebro_tpu.config import VerifyConfig
+from cerebro_tpu.geometry import se3, stereo
+from cerebro_tpu.verify import verify_pair
+
+H, W = 240, 320
+FX = FY = 300.0
+CX, CY = W / 2, H / 2
+BASELINE = 0.11
+Z_NEAR, Z_FAR = 4.0, 7.0
+X_SPLIT = 0.0  # world x < 0 -> near plane
+
+
+def big_texture(rng, n=2048):
+    """Multi-octave (non-repeating) noise — a repetitive texture (e.g. a
+    global checkerboard) makes cross-view matching inherently ambiguous."""
+    out = np.zeros((n, n), np.float32)
+    for scale, amp in [(4, 0.5), (16, 1.0), (64, 2.0)]:
+        small = rng.normal(size=(n // scale, n // scale)).astype(np.float32)
+        big = np.kron(small, np.ones((scale, scale), np.float32))
+        for _ in range(3):
+            big = 0.25 * (
+                np.roll(big, 1, 0) + np.roll(big, -1, 0) + np.roll(big, 1, 1) + np.roll(big, -1, 1)
+            )
+        out += amp * big
+    return (out - out.min()) / (out.max() - out.min())
+
+
+def render(tex, w_T_c):
+    """Render the two-plane scene from camera pose w_T_c (ideal pinhole)."""
+    R = w_T_c[:3, :3]
+    t = w_T_c[:3, 3]
+    u, v = np.meshgrid(np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32))
+    rays = np.stack([(u - CX) / FX, (v - CY) / FY, np.ones_like(u)], axis=-1)
+    dirs = rays @ R.T  # world directions
+
+    def hit(Z):
+        s = (Z - t[2]) / dirs[..., 2]
+        return t[None, None, :] + s[..., None] * dirs
+
+    p_near = hit(Z_NEAR)
+    p_far = hit(Z_FAR)
+    use_near = p_near[..., 0] < X_SPLIT
+    p = np.where(use_near[..., None], p_near, p_far)
+
+    scale = 150.0  # texture pixels per metre
+    tx = p[..., 0] * scale + tex.shape[1] / 2
+    ty = p[..., 1] * scale + tex.shape[0] / 2
+    img = stereo.remap_bilinear(jnp.asarray(tex), jnp.asarray(np.stack([tx, ty], -1)))
+    return img
+
+
+def make_rig():
+    return stereo.RectifiedRig(
+        R0=jnp.eye(3), R1=jnp.eye(3),
+        fx=jnp.asarray(FX), fy=jnp.asarray(FY),
+        cx=jnp.asarray(CX), cy=jnp.asarray(CY),
+        baseline=jnp.asarray(BASELINE),
+    )
+
+
+def stereo_pair(tex, w_T_c):
+    right_pose = w_T_c.copy()
+    right_pose[:3, 3] += w_T_c[:3, :3] @ np.array([BASELINE, 0, 0], np.float32)
+    return render(tex, w_T_c), render(tex, right_pose)
+
+
+CFG = dataclasses.replace(
+    VerifyConfig(),
+    max_features=1024,
+    ransac_hypotheses=128,
+    gms_factor=4.0,  # sparse synthetic corners; real imagery keeps 6
+    min_matches_accept=200,  # 240x320 synthetic yields fewer matches than 752x480 ORB5000
+)
+
+
+def test_verify_pair_recovers_known_pose(rng):
+    tex = big_texture(rng)
+    Ta = np.eye(4, dtype=np.float32)
+    yaw = np.deg2rad(4.0)
+    Tb = np.asarray(
+        se3.make_pose(
+            se3.ypr_to_rot(jnp.asarray([yaw, 0.0, 0.0], jnp.float32)),
+            jnp.asarray([0.25, 0.1, 0.15]),
+        )
+    )
+    la, ra = stereo_pair(tex, Ta)
+    lb, rb = stereo_pair(tex, Tb.astype(np.float32))
+
+    res = verify_pair(CFG, jax.random.PRNGKey(0), la, ra, lb, rb, make_rig())
+    n = int(res.n_matches)
+    assert n >= CFG.min_matches_attempt
+
+    # ground-truth relative pose: points in a -> points in b
+    T_gt = np.linalg.inv(Tb) @ Ta
+    ang, trans = se3.pose_delta_metrics(jnp.asarray(T_gt), res.T_b_a)
+    assert bool(res.option_success[0]), f"PnP A failed, conf={np.asarray(res.confidences)}"
+    assert float(ang) < 2.0, f"angle err {float(ang)} deg"
+    assert float(trans) < 0.1, f"trans err {float(trans)} m"
+    assert bool(res.consistent), (
+        f"3-way consistency failed: conf={np.asarray(res.confidences)}, "
+        f"success={np.asarray(res.option_success)}"
+    )
+    assert bool(res.accepted) == (n > CFG.min_matches_accept)
+
+
+def test_verify_pair_rejects_unrelated_frames(rng):
+    tex1 = big_texture(rng)
+    tex2 = big_texture(np.random.default_rng(999))
+    Ta = np.eye(4, dtype=np.float32)
+    la, ra = stereo_pair(tex1, Ta)
+    lb, rb = stereo_pair(tex2, Ta)
+    res = verify_pair(CFG, jax.random.PRNGKey(0), la, ra, lb, rb, make_rig())
+    assert not bool(res.accepted)
+
+
+def test_verify_pair_identity_pose(rng):
+    tex = big_texture(rng)
+    Ta = np.eye(4, dtype=np.float32)
+    la, ra = stereo_pair(tex, Ta)
+    res = verify_pair(CFG, jax.random.PRNGKey(1), la, ra, la, ra, make_rig())
+    assert bool(res.consistent)
+    ang, trans = se3.pose_delta_metrics(jnp.eye(4), res.T_b_a)
+    assert float(ang) < 0.5 and float(trans) < 0.05
