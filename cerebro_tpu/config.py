@@ -28,6 +28,11 @@ class DescriptorConfig:
     # 240x320 and keep dims MXU-friendly.
     image_hw: Tuple[int, int] = (240, 320)
     num_channels: int = 1
+    # Descriptor backend: "netvlad" (learned, needs trained weights) or
+    # "gist" (training-free multi-scale statistics — the useful version of
+    # the reference's SampleGPUComputer dummy descriptor,
+    # scripts/whole_image_desc_compute_server.py:27-60).
+    kind: str = "netvlad"
     # NetVLAD clusters (K=16 in the bundled gray_conv6_K16 model family).
     num_clusters: int = 16
     # Trunk output channel count; descriptor dim = num_clusters * trunk_dim

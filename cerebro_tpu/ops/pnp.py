@@ -43,17 +43,49 @@ def pnp_dlt(
 ) -> jax.Array:
     """Weighted DLT PnP: returns b_T_a (4,4) with x ~ project(R X + t).
 
-    Solve min ||W A p|| s.t. ||p||=1 via the smallest eigenvector of
-    A^T W A (12x12 — eigh batches beautifully under vmap), then project the
-    3x3 block onto SO(3) and fix scale/sign by cheirality (weighted mean
-    depth positive).
+    Hartley-normalize both point sets (without it, the weak depth-relief
+    direction of A^T A sits at the float32 noise floor and eigh returns a
+    polluted null vector — real failure observed on low-relief scenes),
+    solve min ||W A p|| s.t. ||p||=1 via the smallest eigenvector of
+    A^T W A (12x12 — eigh batches beautifully under vmap), un-normalize,
+    then project the 3x3 block onto SO(3) and fix scale/sign by cheirality
+    (weighted mean depth positive).
     """
-    A = _build_dlt_rows(X, x)  # (2N, 12)
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    wn = w / wsum
+
+    # --- Hartley normalization ---
+    c3 = jnp.sum(wn[:, None] * X, axis=0)  # 3D centroid
+    d3 = jnp.sum(wn * jnp.linalg.norm(X - c3, axis=-1))
+    s3 = jnp.sqrt(3.0) / jnp.maximum(d3, 1e-9)
+    Xn = (X - c3) * s3
+
+    c2 = jnp.sum(wn[:, None] * x, axis=0)
+    d2 = jnp.sum(wn * jnp.linalg.norm(x - c2, axis=-1))
+    s2 = jnp.sqrt(2.0) / jnp.maximum(d2, 1e-9)
+    xn = (x - c2) * s2
+
+    A = _build_dlt_rows(Xn, xn)  # (2N, 12)
     ww = jnp.repeat(w, 2)
     M = (A * ww[:, None]).T @ A  # (12, 12)
     _, vecs = jnp.linalg.eigh(M)
     p = vecs[:, 0]  # smallest eigenvalue
-    P = p.reshape(3, 4)
+    Pn = p.reshape(3, 4)
+
+    # un-normalize: x_hat = s2 (x - c2), X_hat = s3 (X - c3)
+    # => P = T2^{-1} Pn T3 with T2 = [[s2,0,-s2 c2],[0,s2,..],[0,0,1]]
+    z = jnp.zeros(())
+    o = jnp.ones(())
+    inv_s2 = 1.0 / s2
+    T2inv = jnp.stack(
+        [
+            jnp.stack([inv_s2, z, c2[0]]),
+            jnp.stack([z, inv_s2, c2[1]]),
+            jnp.stack([z, z, o]),
+        ]
+    )
+    T3 = jnp.eye(4).at[:3, :3].multiply(s3).at[:3, 3].set(-s3 * c3)
+    P = T2inv @ Pn @ T3
     Rraw, t_raw = P[:, :3], P[:, 3]
 
     # scale + sign: mean cheirality over weighted points

@@ -1,0 +1,397 @@
+"""Host-side orchestration: the whole engine behind one ingest API.
+
+This replaces the reference's process/thread architecture — cerebro_node
+main() wiring + 8 threads over mutex-guarded shared maps (ref
+src/cerebro_node.cpp:29-530, thread list README.md:157-165) — with a
+single-writer event loop:
+
+    ingest_frame()            <- per camera frame (the ROS callbacks)
+      kidnap monitor          (ref kidnaped_thread, 5 Hz polling -> fold)
+      keyframe store          (ref DataManager data_association_thread)
+      image store RAM window  (ref clean_up_useless_images_thread)
+      descriptor batch queue  (ref descriptor_computer_thread @20 Hz + RPC)
+    -- when a batch fills (or flush()):
+      describe_batch -> DB.append -> detect_batch   ON DEVICE, one dispatch
+      candidate gates (Δt, world bookkeeping)       (ref dot-product thread)
+    verify_pending()          (ref loopcandiate_consumer_thread @1 Hz)
+      verify_pair per candidate -> LoopEdge         (ref LoopEdge publish)
+    optimize_trajectory()     (ref external pose-graph solver node)
+
+The reference rate-limits and probabilistically skips frames to survive on
+a CPU (src/Cerebro.cpp:193-203); here batching to the TPU replaces
+skipping — every keyframe is described.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cerebro_tpu.config import CerebroConfig
+from cerebro_tpu.db import descriptors as ddb
+from cerebro_tpu.db.images import ImageStore
+from cerebro_tpu.db.keyframes import KeyframeStore
+from cerebro_tpu.geometry import se3, stereo
+from cerebro_tpu.kidnap import KidnapMonitor
+from cerebro_tpu.loop import detector
+from cerebro_tpu.models.descriptor import create_descriptor_model, describe_batch
+from cerebro_tpu.models.gist import gist_descriptors
+from cerebro_tpu.posegraph import (
+    PoseGraph,
+    initialize_worlds,
+    optimize,
+    poses_from_xyzyaw,
+    relative_yaw_t,
+)
+from cerebro_tpu.verify import verify_pair
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopEdge:
+    """The engine's intelligence output (parity: msg/LoopEdge.msg —
+    timestamp0, timestamp1, pose_1T0, weight, description)."""
+
+    stamp_curr: float
+    stamp_prev: float
+    idx_curr: int  # keyframe-store index
+    idx_prev: int
+    T_prev_curr: np.ndarray  # (4,4) pose of curr in prev's frame
+    weight: float  # confidence (max RANSAC goodness)
+    n_matches: int
+    description: str = ""
+
+    def as_json(self) -> dict:
+        """ProcessedLoopCandidate::asJson parity
+        (src/ProcessedLoopCandidate.cpp:128-172)."""
+        return {
+            "timestamp0": self.stamp_prev,
+            "timestamp1": self.stamp_curr,
+            "idx0": self.idx_prev,
+            "idx1": self.idx_curr,
+            "pose_1T0": self.T_prev_curr.tolist(),
+            "weight": self.weight,
+            "n_matches": self.n_matches,
+            "description": self.description,
+        }
+
+
+@dataclasses.dataclass
+class RawCandidate:
+    """Output of the detection stage, input to verification (the
+    foundLoops entries, ref src/Cerebro.cpp:1078-1081)."""
+
+    idx_curr: int
+    idx_prev: int
+    score: float
+
+
+class CerebroPipeline:
+    def __init__(
+        self,
+        cfg: Optional[CerebroConfig] = None,
+        rig: Optional[stereo.RectifiedRig] = None,
+        params=None,
+        describe_fn=None,  # optional override: (B,H,W,C) uint8 -> (B,D)
+        seed: int = 0,
+    ):
+        self.cfg = cfg or CerebroConfig()
+        self.rig = rig
+        self.store = KeyframeStore()
+        self.images = ImageStore(
+            stash_dir=self.cfg.runtime.stash_dir,
+            cache_ttl=self.cfg.runtime.image_cache_ttl,
+        )
+        self.kidnap = KidnapMonitor(self.cfg.kidnap)
+        dcfg = self.cfg.descriptor
+        if describe_fn is not None:
+            self.describe_fn = describe_fn
+            dim = dcfg.num_clusters * dcfg.trunk_dim
+        elif dcfg.kind == "gist":
+            dim = dcfg.num_clusters * dcfg.trunk_dim
+            self.describe_fn = lambda imgs: gist_descriptors(imgs, dim=dim)
+        else:
+            self.net, self.params = create_descriptor_model(dcfg, seed=seed)
+            if params is not None:
+                self.params = params
+            self.describe_fn = lambda imgs: describe_batch(self.net, self.params, imgs)
+            dim = self.net.descriptor_dim
+        self.db = ddb.create(self.cfg.loop.db_capacity, dim)
+        self.det_state = detector.init_state()
+        # DB row -> keyframe-store index (only described keyframes enter the DB)
+        self.db_row_to_store: List[int] = []
+
+        self._pending_desc: List[int] = []  # store indices awaiting description
+        self.candidates: List[RawCandidate] = []  # awaiting verification
+        self.loop_edges: List[LoopEdge] = []
+        self._verify_key = jax.random.PRNGKey(seed + 1)
+
+    # ------------------------------------------------------------------
+    # Ingest
+    # ------------------------------------------------------------------
+
+    def ingest_frame(
+        self,
+        stamp: float,
+        left_img: np.ndarray,  # (H, W) uint8/float rectified left
+        n_tracked: int,
+        pose: Optional[np.ndarray] = None,  # (4,4) VINS w_T_c
+        right_img: Optional[np.ndarray] = None,
+        is_keyframe: bool = True,
+    ):
+        """One camera frame. Returns kidnap events fired by this frame."""
+        events = self.kidnap.feed(stamp, n_tracked)
+        idx = self.store.add_frame(
+            stamp,
+            pose=pose,
+            is_keyframe=is_keyframe,
+            n_tracked=n_tracked,
+            world_id=self.kidnap.world_id,
+        )
+        if is_keyframe:
+            self.images.put("left", idx, np.asarray(left_img))
+            if right_img is not None:
+                self.images.put("right", idx, np.asarray(right_img))
+            # descriptor eligibility (ref skips kidnapped <20-feat frames,
+            # src/Cerebro.cpp:206-210)
+            if n_tracked >= self.cfg.descriptor.min_tracked_features:
+                self._pending_desc.append(idx)
+        self._maintain_ram_window(stamp)
+        if len(self._pending_desc) >= self.cfg.runtime.descriptor_batch:
+            self.flush_descriptors()
+        return events
+
+    def _maintain_ram_window(self, now: float):
+        """Stash keyframe images older than the RAM window; drop
+        non-keyframes (ref clean_up_useless_images_thread,
+        src/DataManager.cpp:704-763)."""
+        window = self.cfg.runtime.image_ram_window_s
+        # scan only the RAM-resident keys (small)
+        for ns, idx in list(self.images._ram.keys()):
+            if self.images.state_of(ns, idx) != "ram":
+                continue
+            if now - self.store.stamps[idx] > window:
+                if self.store.is_keyframe[idx]:
+                    self.images.stash(ns, idx)
+                else:
+                    self.images.remove(ns, idx)
+
+    # ------------------------------------------------------------------
+    # Descriptor + detection stage (device)
+    # ------------------------------------------------------------------
+
+    def flush_descriptors(self):
+        """Describe queued keyframes (one batched dispatch) and run loop
+        detection on the new rows."""
+        if not self._pending_desc:
+            return
+        B = self.cfg.runtime.descriptor_batch
+        h, w = self.cfg.descriptor.image_hw
+        while self._pending_desc:
+            chunk = self._pending_desc[:B]
+            self._pending_desc = self._pending_desc[B:]
+            imgs = np.zeros((B, h, w, self.cfg.descriptor.num_channels), np.uint8)
+            for k, idx in enumerate(chunk):
+                img = self.images.get("left", idx)
+                imgs[k] = _fit_image(img, (h, w))[..., None]
+            descs = self.describe_fn(jnp.asarray(imgs))
+            self._detect(descs, chunk, len(chunk))
+
+    def _detect(self, descs: jax.Array, store_idx: List[int], n_valid: int):
+        B = descs.shape[0]
+        row0 = len(self.db_row_to_store)
+        gidx = jnp.arange(row0, row0 + B, dtype=jnp.int32)
+        qvalid = jnp.asarray(np.arange(B) < n_valid)
+
+        self.db = ddb.append(self.db, descs, jnp.asarray(n_valid))
+        cands, self.det_state = detector.detect_batch(
+            self.cfg.loop, self.db, self.det_state, descs, gidx, qvalid
+        )
+        self.db_row_to_store.extend(store_idx[:n_valid])
+        self.store.mark_described(np.asarray(store_idx[:n_valid]))
+
+        valid = np.asarray(cands.valid)
+        for k in range(n_valid):
+            if not valid[k]:
+                continue
+            curr = self.db_row_to_store[int(cands.curr_idx[k])]
+            prev = self.db_row_to_store[int(cands.prev_idx[k])]
+            # Δt gate (ref rejects pairs <10 s apart,
+            # src/ProcessedLoopCandidate.cpp:49-56)
+            if (
+                self.store.stamps[curr] - self.store.stamps[prev]
+                < self.cfg.verify.min_pair_dt_s
+            ):
+                continue
+            self.candidates.append(
+                RawCandidate(
+                    idx_curr=curr, idx_prev=prev, score=float(cands.score[k])
+                )
+            )
+
+    # ------------------------------------------------------------------
+    # Verification stage
+    # ------------------------------------------------------------------
+
+    def verify_pending(self, max_pairs: Optional[int] = None) -> int:
+        """Geometrically verify queued candidates; accepted ones become
+        LoopEdges. Returns number accepted this call."""
+        if self.rig is None:
+            raise RuntimeError("verification needs a RectifiedRig (stereo)")
+        n_accepted = 0
+        todo = self.candidates if max_pairs is None else self.candidates[:max_pairs]
+        self.candidates = [] if max_pairs is None else self.candidates[max_pairs:]
+        for cand in todo:
+            pair = self._load_pair(cand)
+            if pair is None:
+                continue
+            la, ra, lb, rb = pair
+            self._verify_key, sub = jax.random.split(self._verify_key)
+            res = verify_pair(
+                self.cfg.verify, sub,
+                jnp.asarray(lb), jnp.asarray(rb),  # frame a := prev
+                jnp.asarray(la), jnp.asarray(ra),  # frame b := curr
+                self.rig,
+            )
+            # with a := prev, b := curr, res.T_b_a = curr_T_prev; the edge
+            # stores prev_T_curr (pose of curr in prev's frame)
+            if bool(res.accepted):
+                T_prev_curr = np.linalg.inv(np.asarray(res.T_b_a))
+                self.loop_edges.append(
+                    LoopEdge(
+                        stamp_curr=float(self.store.stamps[cand.idx_curr]),
+                        stamp_prev=float(self.store.stamps[cand.idx_prev]),
+                        idx_curr=cand.idx_curr,
+                        idx_prev=cand.idx_prev,
+                        T_prev_curr=T_prev_curr,
+                        weight=float(res.confidence),
+                        n_matches=int(res.n_matches),
+                    )
+                )
+                n_accepted += 1
+        return n_accepted
+
+    def _load_pair(self, cand: RawCandidate):
+        la = self.images.get("left", cand.idx_curr)
+        ra = self.images.get("right", cand.idx_curr)
+        lb = self.images.get("left", cand.idx_prev)
+        rb = self.images.get("right", cand.idx_prev)
+        if la is None or ra is None or lb is None or rb is None:
+            return None
+        return (
+            np.asarray(la, np.float32),
+            np.asarray(ra, np.float32),
+            np.asarray(lb, np.float32),
+            np.asarray(rb, np.float32),
+        )
+
+    # ------------------------------------------------------------------
+    # Trajectory optimization (pose graph over keyframes)
+    # ------------------------------------------------------------------
+
+    def optimize_trajectory(self) -> Optional[np.ndarray]:
+        """Build + solve the pose graph over keyframes with valid poses.
+        Returns corrected (N, 4, 4) poses aligned into world 0, or None if
+        the graph is trivial. This is the external solve_keyframe_pose_graph
+        capability in-framework."""
+        kf = np.nonzero(self.store.pose_valid[: self.store.size])[0]
+        if len(kf) < 2:
+            return None
+        idx_of = {int(s): i for i, s in enumerate(kf)}
+        T = self.store.poses[kf]
+        world = self.store.world_id[kf]
+
+        x0 = np.zeros((len(kf), 4), np.float32)
+        x0[:, :3] = T[:, :3, 3]
+        x0[:, 3] = np.asarray(se3.rot_to_ypr(jnp.asarray(T[:, :3, :3])))[:, 0]
+
+        # odometry edges between consecutive keyframes in the same world
+        oi, oj, om, ov = [], [], [], []
+        for k in range(len(kf) - 1):
+            oi.append(k)
+            oj.append(k + 1)
+            om.append(
+                np.asarray(relative_yaw_t(jnp.asarray(T[k]), jnp.asarray(T[k + 1])))
+            )
+            ov.append(world[k] == world[k + 1])
+        # loop edges from verified LoopEdges
+        li, lj, lm, lv = [], [], [], []
+        for e in self.loop_edges:
+            if e.idx_prev not in idx_of or e.idx_curr not in idx_of:
+                continue
+            li.append(idx_of[e.idx_prev])
+            lj.append(idx_of[e.idx_curr])
+            lm.append(
+                np.asarray(
+                    relative_yaw_t(
+                        jnp.eye(4), jnp.asarray(e.T_prev_curr.astype(np.float32))
+                    )
+                )
+            )
+            lv.append(True)
+        if not li:
+            li, lj, lm, lv = [0], [0], [np.zeros(4, np.float32)], [False]
+
+        x_init = initialize_worlds(
+            x0, world, np.asarray(li), np.asarray(lj), np.asarray(lm), np.asarray(lv)
+        )
+        graph = PoseGraph(
+            xyzyaw=jnp.asarray(x_init),
+            node_valid=jnp.ones(len(kf), dtype=bool),
+            odo_i=jnp.asarray(oi, jnp.int32),
+            odo_j=jnp.asarray(oj, jnp.int32),
+            odo_meas=jnp.asarray(np.asarray(om, np.float32)),
+            odo_valid=jnp.asarray(ov),
+            loop_i=jnp.asarray(li, jnp.int32),
+            loop_j=jnp.asarray(lj, jnp.int32),
+            loop_meas=jnp.asarray(np.asarray(lm, np.float32)),
+            loop_valid=jnp.asarray(lv),
+        )
+        x_opt, switches, _ = optimize(graph, self.cfg.posegraph)
+        return np.asarray(poses_from_xyzyaw(x_opt))
+
+    # ------------------------------------------------------------------
+    # Observability (JSON exports, §5.5 parity)
+    # ------------------------------------------------------------------
+
+    def found_loops_json(self) -> list:
+        """foundLoops_as_JSON parity (ref src/Cerebro.cpp:1127-1164)."""
+        return [
+            {
+                "global_a": c.idx_curr,
+                "global_b": c.idx_prev,
+                "score": c.score,
+                "stamp_a": float(self.store.stamps[c.idx_curr]),
+                "stamp_b": float(self.store.stamps[c.idx_prev]),
+            }
+            for c in self.candidates
+        ]
+
+    def status(self) -> dict:
+        return {
+            "frames": self.store.size,
+            "keyframes": int(self.store.is_keyframe[: self.store.size].sum()),
+            "described": len(self.db_row_to_store),
+            "pending_descriptors": len(self._pending_desc),
+            "pending_candidates": len(self.candidates),
+            "loop_edges": len(self.loop_edges),
+            "kidnap": self.kidnap.info(),
+        }
+
+
+def _fit_image(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    """Resize (nearest/strided) to the descriptor input size; images are
+    expected uint8 grayscale."""
+    h, w = hw
+    if img.shape[:2] == (h, w):
+        out = img
+    else:
+        ys = (np.linspace(0, img.shape[0] - 1, h)).astype(np.int32)
+        xs = (np.linspace(0, img.shape[1] - 1, w)).astype(np.int32)
+        out = img[ys][:, xs]
+    if out.dtype != np.uint8:
+        out = np.clip(out * 255.0 if out.max() <= 1.5 else out, 0, 255).astype(np.uint8)
+    return out

@@ -1,0 +1,70 @@
+"""Per-stage timing metrics.
+
+Replaces the reference's pervasive ElapsedTime tic/toc inline profiling
+(src/utils/ElapsedTime.h; e.g. descriptor latency feeding the adaptive skip,
+src/Cerebro.cpp:108-118,281) with a structured collector: named stages,
+rolling statistics, JSON export, and optional jax.profiler trace capture.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+
+class StageTimer:
+    def __init__(self, window: int = 200):
+        self.window = window
+        self._samples: Dict[str, list] = defaultdict(list)
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            buf = self._samples[name]
+            buf.append(dt)
+            if len(buf) > self.window:
+                del buf[: len(buf) - self.window]
+
+    def record(self, name: str, seconds: float):
+        self._samples[name].append(seconds)
+
+    def stats(self) -> Dict[str, Dict[str, float]]:
+        out = {}
+        for name, buf in self._samples.items():
+            if not buf:
+                continue
+            s = sorted(buf)
+            out[name] = {
+                "count": len(buf),
+                "mean_ms": 1e3 * sum(buf) / len(buf),
+                "p50_ms": 1e3 * s[len(s) // 2],
+                "p95_ms": 1e3 * s[int(len(s) * 0.95)],
+                "last_ms": 1e3 * buf[-1],
+            }
+        return out
+
+    def estimated_ms(self, name: str) -> Optional[float]:
+        """Rolling mean latency — the reference's est_compute_time used by
+        its load-shedding policy (src/Cerebro.cpp:193-203)."""
+        buf = self._samples.get(name)
+        if not buf:
+            return None
+        return 1e3 * sum(buf) / len(buf)
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """jax.profiler trace around a block (view with TensorBoard/XProf)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,178 @@
+"""Full-pipeline integration test: synthetic stereo stream -> descriptors ->
+loop candidates -> geometric verification -> pose-graph correction, plus
+kidnap segmentation and the tiered image store. This is the bag-replay
+integration harness of SURVEY.md §4, with exact ground truth."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from cerebro_tpu.config import (
+    CerebroConfig,
+    DescriptorConfig,
+    KidnapConfig,
+    LoopConfig,
+    PoseGraphConfig,
+    RuntimeConfig,
+    VerifyConfig,
+)
+from cerebro_tpu.db.images import ImageStore
+from cerebro_tpu.runtime import CerebroPipeline
+
+import jax.numpy as jnp
+from cerebro_tpu.geometry import se3, stereo
+from test_verify import big_texture, render, make_rig, BASELINE, H, W
+
+
+def small_config(tmp_path):
+    return CerebroConfig(
+        descriptor=DescriptorConfig(
+            image_hw=(H, W), trunk_dim=64, num_clusters=4, kind="gist"
+        ),
+        loop=LoopConfig(db_capacity=1024, exclusion_window=6, dot_threshold=0.85),
+        # training-free gist descriptor: discriminative without weights
+        verify=dataclasses.replace(
+            VerifyConfig(),
+            max_features=1024,
+            ransac_hypotheses=128,
+            gms_factor=4.0,
+            min_matches_accept=200,
+            min_pair_dt_s=2.0,
+        ),
+        kidnap=KidnapConfig(),
+        posegraph=PoseGraphConfig(max_gn_iters=10, cg_iters=60),
+        runtime=RuntimeConfig(
+            descriptor_batch=4, stash_dir=str(tmp_path / "stash"), image_ram_window_s=1e9
+        ),
+    )
+
+
+def camera_pose(i):
+    """Poses along a line with slight yaw; every index has a distinct view."""
+    yaw = 0.02 * i
+    t = jnp.asarray([0.35 * i, 0.05 * i, 0.0])
+    return np.asarray(
+        se3.make_pose(se3.ypr_to_rot(jnp.asarray([yaw, 0.0, 0.0])), t)
+    ).astype(np.float32)
+
+
+def stereo_images(tex, w_T_c):
+    right_pose = w_T_c.copy()
+    right_pose[:3, 3] += w_T_c[:3, :3] @ np.array([BASELINE, 0, 0], np.float32)
+    la = np.asarray(render(tex, w_T_c))
+    ra = np.asarray(render(tex, right_pose))
+    to8 = lambda x: np.clip(x * 255, 0, 255).astype(np.uint8)
+    return to8(la), to8(ra)
+
+
+@pytest.fixture(scope="module")
+def scene(rng_mod=np.random.default_rng(11)):
+    tex = big_texture(rng_mod, n=4096)
+    frames = {}
+    for i in range(14):
+        frames[i] = stereo_images(tex, camera_pose(i))
+    return frames
+
+
+def test_pipeline_end_to_end(tmp_path, scene):
+    cfg = small_config(tmp_path)
+    pipe = CerebroPipeline(cfg, rig=make_rig())
+
+    # 14 distinct frames at 1 Hz, then revisit frames 2..5 (same images) at
+    # t=20.. — far beyond the exclusion window (6) and Δt gate (2 s)
+    t = 0.0
+    for i in range(14):
+        la, ra = scene[i]
+        pipe.ingest_frame(t, la, n_tracked=100, pose=camera_pose(i), right_img=ra)
+        t += 1.0
+    t = 20.0
+    for i in range(2, 6):
+        la, ra = scene[i]
+        pipe.ingest_frame(t, la, n_tracked=100, pose=camera_pose(14 + (i - 2)), right_img=ra)
+        t += 1.0
+    pipe.flush_descriptors()
+
+    st = pipe.status()
+    assert st["described"] == 18
+    assert st["pending_candidates"] >= 1, f"no loop candidates: {st}"
+    # candidates must point from the revisit block back to frames 2..5
+    for c in pipe.candidates:
+        assert c.idx_curr >= 14
+        assert 1 <= c.idx_prev <= 6
+        assert c.score > 0.95  # identical images -> near-perfect dot
+
+    n_acc = pipe.verify_pending()
+    assert n_acc >= 1, f"no verified loops: {pipe.status()}"
+    for e in pipe.loop_edges:
+        # identical viewpoint revisit: relative pose should be ~identity
+        ang, trans = se3.pose_delta_metrics(
+            jnp.eye(4), jnp.asarray(e.T_prev_curr.astype(np.float32))
+        )
+        assert float(ang) < 1.5 and float(trans) < 0.1
+        assert e.stamp_curr - e.stamp_prev >= cfg.verify.min_pair_dt_s
+
+    # trajectory optimization runs and returns a full set of poses
+    out = pipe.optimize_trajectory()
+    assert out is not None and out.shape == (18, 4, 4)
+    assert np.all(np.isfinite(out))
+
+    # observability surfaces
+    j = pipe.found_loops_json()
+    assert isinstance(j, list)
+    assert pipe.status()["loop_edges"] == len(pipe.loop_edges)
+
+
+def test_pipeline_kidnap_segments_worlds(tmp_path, scene):
+    cfg = small_config(tmp_path)
+    pipe = CerebroPipeline(cfg, rig=make_rig())
+    t = 0.0
+    for i in range(5):
+        la, ra = scene[i]
+        pipe.ingest_frame(t, la, n_tracked=100, pose=camera_pose(i), right_img=ra)
+        t += 1.0
+    # kidnap: 4 s of feature collapse
+    for _ in range(8):
+        la, ra = scene[5]
+        pipe.ingest_frame(t, la, n_tracked=3, pose=None, right_img=ra, is_keyframe=False)
+        t += 0.5
+    # recovery
+    for i in range(6, 10):
+        la, ra = scene[i]
+        pipe.ingest_frame(t, la, n_tracked=100, pose=camera_pose(i), right_img=ra)
+        t += 1.0
+    pipe.flush_descriptors()
+    info = pipe.kidnap.info()
+    assert info["world_id"] == 1
+    assert len(info["intervals"]) == 1
+    # store world ids reflect the split
+    ws = pipe.store.world_id[: pipe.store.size]
+    assert ws[0] == 0 and ws[pipe.store.size - 1] == 1
+
+
+def test_image_store_ram_disk_cycle(tmp_path):
+    store = ImageStore(stash_dir=str(tmp_path / "s"), cache_ttl=3)
+    img = np.random.default_rng(0).integers(0, 255, (32, 32)).astype(np.uint8)
+    store.put("left", 0, img)
+    assert store.state_of("left", 0) == "ram"
+    store.stash("left", 0)
+    assert store.state_of("left", 0) == "disk"
+    out = store.get("left", 0)
+    np.testing.assert_array_equal(out, img)
+    assert store.state_of("left", 0) == "ram_hit"
+    for _ in range(3):  # TTL decrements back to disk
+        store.get("left", 0)
+    assert store.state_of("left", 0) == "disk"
+    store.remove("left", 0)
+    assert store.get("left", 0) is None
+
+
+def test_image_store_save_load_roundtrip(tmp_path):
+    store = ImageStore(stash_dir=str(tmp_path / "s1"))
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    store.put("left", 7, img)
+    store.save_to(str(tmp_path / "ckpt"))
+    store2 = ImageStore.load_from(
+        str(tmp_path / "ckpt"), stash_dir=str(tmp_path / "s2")
+    )
+    np.testing.assert_array_equal(store2.get("left", 7), img)
