@@ -25,6 +25,7 @@ import jax.numpy as jnp
 PINHOLE = "PINHOLE"
 MEI = "MEI"
 KANNALA_BRANDT = "KANNALA_BRANDT"
+SCARAMUZZA = "SCARAMUZZA"
 
 
 @jax.tree_util.register_dataclass
@@ -37,7 +38,13 @@ class CameraParams:
                       PINHOLE: (k1, k2, p1, p2)   [radtan]
                       KANNALA_BRANDT: (k2, k3, k4, k5) [theta polynomial]
                       MEI: (k1, k2, p1, p2)
-    xi              : MEI unified-model mirror parameter (0 otherwise)
+                      SCARAMUZZA: (a0, a2, a3, a4) — omnidirectional
+                        cam2world polynomial z(rho) = a0 + a2 rho^2 +
+                        a3 rho^3 + a4 rho^4 (a1 = 0 per OCamCalib); the
+                        affine stretch matrix is [[fx, xi], [0, fy]]
+                        (c, d, e with e = 0 supported) and (cx, cy) is the
+                        distortion center
+    xi              : MEI mirror parameter / Scaramuzza 'd' affine term
     """
 
     fx: jax.Array
@@ -88,6 +95,25 @@ def make_mei(gamma1, gamma2, u0, v0, xi, dist=(0.0, 0.0, 0.0, 0.0), width=752, h
         dist=jnp.asarray(dist, jnp.float32),
         xi=jnp.asarray(xi, jnp.float32),
         model=MEI,
+        width=width,
+        height=height,
+    )
+
+
+def make_scaramuzza(
+    c, u0, v0, poly=(1.0, 0.0, 0.0, 0.0), d_affine=0.0, width=752, height=480
+):
+    """OCamCalib-style omnidirectional camera (camodocal ScaramuzzaCamera
+    equivalent): cam2world poly z(rho) = a0 + a2 rho^2 + a3 rho^3 + a4 rho^4,
+    affine [[c, d], [0, 1]] (e fixed at 0), center (u0, v0)."""
+    return CameraParams(
+        fx=jnp.asarray(c, jnp.float32),
+        fy=jnp.asarray(1.0, jnp.float32),
+        cx=jnp.asarray(u0, jnp.float32),
+        cy=jnp.asarray(v0, jnp.float32),
+        dist=jnp.asarray(poly, jnp.float32),
+        xi=jnp.asarray(d_affine, jnp.float32),
+        model=SCARAMUZZA,
         width=width,
         height=height,
     )
@@ -248,8 +274,62 @@ def _lift_mei(c: CameraParams, uv: jax.Array) -> jax.Array:
     return ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
 
 
-_PROJECT = {PINHOLE: _project_pinhole, KANNALA_BRANDT: _project_kb, MEI: _project_mei}
-_LIFT = {PINHOLE: _lift_pinhole, KANNALA_BRANDT: _lift_kb, MEI: _lift_mei}
+def _scara_poly(dist: jax.Array, rho: jax.Array) -> jax.Array:
+    a0, a2, a3, a4 = dist[..., 0], dist[..., 1], dist[..., 2], dist[..., 3]
+    return a0 + rho * rho * (a2 + rho * (a3 + rho * a4))
+
+
+def _scara_poly_deriv(dist: jax.Array, rho: jax.Array) -> jax.Array:
+    _, a2, a3, a4 = dist[..., 0], dist[..., 1], dist[..., 2], dist[..., 3]
+    return rho * (2.0 * a2 + rho * (3.0 * a3 + rho * 4.0 * a4))
+
+
+def _lift_scara(c: CameraParams, uv: jax.Array) -> jax.Array:
+    # invert affine [[c, d],[0, 1]] about the center
+    du = uv[..., 0] - c.cx
+    dv = uv[..., 1] - c.cy
+    my = dv  # second affine row is (0, 1)
+    mx = (du - c.xi * my) / c.fx
+    rho = jnp.sqrt(mx * mx + my * my)
+    z = _scara_poly(c.dist, rho)
+    ray = jnp.stack([mx, my, z], axis=-1)
+    return ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+
+
+def _project_scara(c: CameraParams, P: jax.Array, iters: int = 12) -> jax.Array:
+    # Solve f(rho) * r - z * rho = 0 for rho (ray direction match), Newton.
+    r = jnp.sqrt(P[..., 0] ** 2 + P[..., 1] ** 2)
+    z = P[..., 2]
+    safe_r = jnp.where(r < 1e-9, 1.0, r)
+    # init from the paraxial approx rho ~ a0 * r / z
+    a0 = c.dist[..., 0]
+    rho0 = jnp.abs(a0) * r / jnp.maximum(jnp.abs(z), 1e-6)
+
+    def body(_, rho):
+        g = _scara_poly(c.dist, rho) * r - z * rho
+        gp = _scara_poly_deriv(c.dist, rho) * r - z
+        return jnp.clip(rho - g / jnp.where(jnp.abs(gp) < 1e-9, 1e-9, gp), 0.0, 1e4)
+
+    rho = jax.lax.fori_loop(0, iters, body, rho0)
+    mx = P[..., 0] / safe_r * rho
+    my = P[..., 1] / safe_r * rho
+    u = c.fx * mx + c.xi * my + c.cx
+    v = my + c.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+_PROJECT = {
+    PINHOLE: _project_pinhole,
+    KANNALA_BRANDT: _project_kb,
+    MEI: _project_mei,
+    SCARAMUZZA: _project_scara,
+}
+_LIFT = {
+    PINHOLE: _lift_pinhole,
+    KANNALA_BRANDT: _lift_kb,
+    MEI: _lift_mei,
+    SCARAMUZZA: _lift_scara,
+}
 
 
 def project(c: CameraParams, P_cam: jax.Array) -> jax.Array:

@@ -1,1 +1,5 @@
-from cerebro_tpu.runtime.pipeline import CerebroPipeline, LoopEdge  # noqa: F401
+from cerebro_tpu.runtime.pipeline import (  # noqa: F401
+    CerebroPipeline,
+    LoopEdge,
+    StreamIngestor,
+)

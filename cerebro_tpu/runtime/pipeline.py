@@ -382,6 +382,69 @@ class CerebroPipeline:
         }
 
 
+class StreamIngestor:
+    """Asynchronous front-end: capture/VIO threads push raw feeds (images,
+    poses, tracking counts) with nanosecond stamps; the native C++ engine
+    (cerebro_tpu/native) associates them off-GIL; ``pump()`` drains
+    assembled frames into the pipeline on the consumer thread.
+
+    This is the full replacement for the reference's ROS subscriber
+    callbacks + DataManager::data_association_thread
+    (src/DataManager.cpp:769-1091): feeds from any thread, association in
+    native code, single-writer hand-off into the engine."""
+
+    def __init__(self, pipeline: CerebroPipeline, hold_s: float = 0.2):
+        from cerebro_tpu.native import make_ingest
+
+        self.pipeline = pipeline
+        self.engine = make_ingest(tol_s=1e-3, hold_s=hold_s,
+                                  gap_s=pipeline.cfg.kidnap.stream_gap_s)
+        self._left: dict = {}
+        self._right: dict = {}
+        self._lock = None  # pixel dicts are guarded by the GIL (dict ops)
+
+    # -- producer side (any thread) ------------------------------------
+
+    def push_image(self, stamp_ns: int, img: np.ndarray, is_right: bool = False):
+        (self._right if is_right else self._left)[stamp_ns] = img
+        self.engine.push_image(stamp_ns, is_right)
+
+    def push_pose(self, stamp_ns: int, w_T_c: np.ndarray):
+        self.engine.push_pose(stamp_ns, w_T_c)
+
+    def push_tracking(self, stamp_ns: int, n_tracked: int, is_keyframe: bool):
+        self.engine.push_tracking(stamp_ns, n_tracked, is_keyframe)
+
+    # -- consumer side (pipeline thread) --------------------------------
+
+    def pump(self, max_frames: int = 256) -> int:
+        """Drain assembled frames into the pipeline. Returns frames fed."""
+        frames = self.engine.drain(max_out=max_frames)
+        for f in frames:
+            left = self._pop_near(self._left, f["stamp_ns"])
+            right = self._pop_near(self._right, f["stamp_ns"])
+            if left is None:
+                continue
+            self.pipeline.ingest_frame(
+                f["stamp"],
+                left,
+                n_tracked=f["n_tracked"],
+                pose=f["pose"].astype(np.float32) if f["pose"] is not None else None,
+                right_img=right,
+                is_keyframe=f["is_keyframe"],
+            )
+        # drop stale pixels for frames the engine pruned
+        return len(frames)
+
+    def _pop_near(self, d: dict, stamp_ns: int, tol_ns: int = 1_000_000):
+        if stamp_ns in d:
+            return d.pop(stamp_ns)
+        for s in list(d.keys()):
+            if abs(s - stamp_ns) <= tol_ns:
+                return d.pop(s)
+        return None
+
+
 def _fit_image(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
     """Resize (nearest/strided) to the descriptor input size; images are
     expected uint8 grayscale."""

@@ -28,8 +28,11 @@ def _random_cam_points(rng, n=256):
             460.0, 460.0, 376.0, 240.0, k=(-0.01, 0.005, -0.002, 0.0005)
         ),
         cameras.make_mei(600.0, 600.0, 376.0, 240.0, xi=1.0, dist=(-0.1, 0.02, 0.0, 0.0)),
+        cameras.make_scaramuzza(
+            1.001, 376.0, 240.0, poly=(420.0, -0.0013, 1e-6, -2e-9), d_affine=0.002
+        ),
     ],
-    ids=["pinhole", "kannala_brandt", "mei"],
+    ids=["pinhole", "kannala_brandt", "mei", "scaramuzza"],
 )
 def test_project_lift_roundtrip(cam, rng):
     P = jnp.asarray(_random_cam_points(rng))
