@@ -58,23 +58,65 @@ def tpu_pairs_per_s(n_rows: int, dim: int, batch: int, reps: int, force_cpu: boo
         vectors=jnp.asarray(vecs, jnp.bfloat16),
         count=jnp.asarray(n_rows, jnp.int32),
     )
-    q = rng.standard_normal((batch, dim)).astype(np.float32)
-    q /= np.linalg.norm(q, axis=-1, keepdims=True)
-    q = jnp.asarray(q)
+    # A pool of DISTINCT query batches: with identical inputs every rep the
+    # detector state saturates after one step and the runtime can legally
+    # memoize/replay the whole program — measured 4.1e9 pairs/s, which would
+    # imply 4.2 TB/s HBM reads on a ~0.8 TB/s part. Cycling fresh queries
+    # forces every dispatch to really execute.
+    pool = []
+    for r in range(reps):
+        q = rng.standard_normal((batch, dim)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        pool.append(jnp.asarray(q))
     gidx = jnp.arange(n_rows, n_rows + batch, dtype=jnp.int32)
     qvalid = jnp.ones((batch,), bool)
     state = detector.init_state()
 
     # warmup + compile
-    cands, st = detector.detect_batch(cfg, db, state, q, gidx, qvalid)
+    cands, st = detector.detect_batch(cfg, db, state, pool[0], gidx, qvalid)
     jax.block_until_ready((cands.score, st.prev_max))
 
+    # correctness gate: the kernel being timed must actually scan the full
+    # DB — plant exact matches at awkward rows (tile edges, last row) and
+    # require the search to find them before any number is reported
+    from cerebro_tpu.ops import similarity
+
+    plant = [0, 511, 512, n_rows // 2, n_rows - 1][: min(5, batch)]
+    probe = np.array(jnp.asarray([db.vectors[r] for r in plant], jnp.float32))
+    qprobe = jnp.asarray(
+        np.concatenate([probe, np.zeros((batch - len(plant), dim), np.float32)])
+    )
+    _, ar = similarity.max_and_argmax(
+        qprobe, db.vectors, jnp.full((batch,), n_rows, jnp.int32)
+    )
+    found = np.asarray(ar)[: len(plant)].tolist()
+    if found != plant:
+        raise RuntimeError(f"kernel correctness check failed: {found} != {plant}")
+
+    # Throughput: enqueue all reps, then MATERIALIZE the last result on the
+    # host. block_until_ready through this environment's remote-TPU relay
+    # can return before execution finishes (measured >1 PFLOP/s "throughput"
+    # on a ~0.2 PFLOP/s part); an actual host fetch cannot. The detector
+    # state chains through every rep, so fetching the final score forces
+    # every previous dispatch to have executed.
     t0 = time.perf_counter()
-    for _ in range(reps):
-        cands, state = detector.detect_batch(cfg, db, state, q, gidx, qvalid)
-    jax.block_until_ready((cands.score, state.prev_max))
+    for r in range(reps):
+        cands, state = detector.detect_batch(cfg, db, state, pool[r], gidx, qvalid)
+    _ = np.asarray(cands.score)
     dt = time.perf_counter() - t0
-    return reps * batch * n_rows / dt
+
+    pairs_per_s = reps * batch * n_rows / dt
+    # Sanity guard against a measurement artifact (e.g. runtime replaying
+    # identical dispatches): implied DB read bandwidth should stay within
+    # an order of magnitude of HBM. Kernel correctness itself is verified
+    # separately (planted-argmax check below runs every bench invocation).
+    implied_bw = reps * n_rows * dim * 2 / dt
+    if implied_bw > 8.0e12:
+        raise RuntimeError(
+            f"implausible implied bandwidth {implied_bw/1e9:.0f} GB/s — "
+            "measurement artifact; fix the bench"
+        )
+    return pairs_per_s
 
 
 def main():
@@ -85,8 +127,11 @@ def main():
 
     dim = 4096
     n_rows = 4096 if args.quick else 29184  # full = reference 29k capacity, tile-rounded
-    reps = 10 if args.quick else 100
-    batch = 8
+    reps = 10 if args.quick else 20
+    # Mapping-mode query batch: the engine batches keyframes; 512 queries
+    # per dispatch saturates the MXU (streaming latency stays sub-ms at
+    # batch 8 — see tests; this benchmark measures per-chip throughput).
+    batch = 64 if args.quick else 512
 
     baseline = cpu_baseline_pairs_per_s(n_rows, dim, reps=5 if args.quick else 20)
     value = tpu_pairs_per_s(n_rows, dim, batch, reps, force_cpu=args.cpu)

@@ -48,6 +48,12 @@ from cerebro_tpu.posegraph import (
     relative_yaw_t,
 )
 from cerebro_tpu.verify import verify_pair
+from cerebro_tpu.verify.geometric import verify_pair_batch
+
+
+def _expand(res):
+    """Add a leading batch axis to a single VerifiedLoop."""
+    return jax.tree.map(lambda x: jnp.asarray(x)[None], res)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -236,43 +242,82 @@ class CerebroPipeline:
     # Verification stage
     # ------------------------------------------------------------------
 
-    def verify_pending(self, max_pairs: Optional[int] = None) -> int:
+    def verify_pending(
+        self, max_pairs: Optional[int] = None, device_batch: int = 4
+    ) -> int:
         """Geometrically verify queued candidates; accepted ones become
-        LoopEdges. Returns number accepted this call."""
+        LoopEdges. Returns number accepted this call.
+
+        Candidates are grouped into ``device_batch``-sized vmapped dispatches
+        (verify_pair_batch) — the whole group's stereo depth + matching +
+        3x RANSAC runs as one XLA program (the reference does one pair per
+        1 Hz tick on a CPU core, src/Cerebro.cpp:1203)."""
         if self.rig is None:
             raise RuntimeError("verification needs a RectifiedRig (stereo)")
-        n_accepted = 0
         todo = self.candidates if max_pairs is None else self.candidates[:max_pairs]
         self.candidates = [] if max_pairs is None else self.candidates[max_pairs:]
+
+        loadable = []
         for cand in todo:
             pair = self._load_pair(cand)
-            if pair is None:
-                continue
-            la, ra, lb, rb = pair
+            if pair is not None:
+                loadable.append((cand, pair))
+
+        n_accepted = 0
+        i = 0
+        while i < len(loadable):
+            chunk = loadable[i : i + device_batch]
+            i += device_batch
             self._verify_key, sub = jax.random.split(self._verify_key)
-            res = verify_pair(
-                self.cfg.verify, sub,
-                jnp.asarray(lb), jnp.asarray(rb),  # frame a := prev
-                jnp.asarray(la), jnp.asarray(ra),  # frame b := curr
-                self.rig,
-            )
-            # with a := prev, b := curr, res.T_b_a = curr_T_prev; the edge
-            # stores prev_T_curr (pose of curr in prev's frame)
-            if bool(res.accepted):
-                T_prev_curr = np.linalg.inv(np.asarray(res.T_b_a))
-                self.loop_edges.append(
-                    LoopEdge(
-                        stamp_curr=float(self.store.stamps[cand.idx_curr]),
-                        stamp_prev=float(self.store.stamps[cand.idx_prev]),
-                        idx_curr=cand.idx_curr,
-                        idx_prev=cand.idx_prev,
-                        T_prev_curr=T_prev_curr,
-                        weight=float(res.confidence),
-                        n_matches=int(res.n_matches),
-                    )
+            if len(chunk) == 1:
+                cand, (la, ra, lb, rb) = chunk[0]
+                res = verify_pair(
+                    self.cfg.verify, sub,
+                    jnp.asarray(lb), jnp.asarray(rb),  # frame a := prev
+                    jnp.asarray(la), jnp.asarray(ra),  # frame b := curr
+                    self.rig,
                 )
-                n_accepted += 1
+                n_accepted += self._emit_edges([chunk[0][0]], _expand(res))
+            else:
+                # pad to the static batch size by repeating the first pair
+                pad = device_batch - len(chunk)
+                pairs = [p for _, p in chunk] + [chunk[0][1]] * pad
+                keys = jax.random.split(sub, device_batch)
+                la = jnp.asarray(np.stack([p[0] for p in pairs]))
+                ra = jnp.asarray(np.stack([p[1] for p in pairs]))
+                lb = jnp.asarray(np.stack([p[2] for p in pairs]))
+                rb = jnp.asarray(np.stack([p[3] for p in pairs]))
+                res = verify_pair_batch(
+                    self.cfg.verify, keys, lb, rb, la, ra, self.rig
+                )
+                n_accepted += self._emit_edges([c for c, _ in chunk], res)
         return n_accepted
+
+    def _emit_edges(self, cands: List[RawCandidate], res) -> int:
+        """Turn accepted batched VerifiedLoop entries into LoopEdges.
+        with a := prev, b := curr, res.T_b_a[p] = curr_T_prev; the edge
+        stores prev_T_curr (pose of curr in prev's frame)."""
+        accepted = np.asarray(res.accepted)
+        T_all = np.asarray(res.T_b_a)
+        conf = np.asarray(jnp.max(res.confidences, axis=-1))
+        nm = np.asarray(res.n_matches)
+        n = 0
+        for p, cand in enumerate(cands):
+            if not accepted[p]:
+                continue
+            self.loop_edges.append(
+                LoopEdge(
+                    stamp_curr=float(self.store.stamps[cand.idx_curr]),
+                    stamp_prev=float(self.store.stamps[cand.idx_prev]),
+                    idx_curr=cand.idx_curr,
+                    idx_prev=cand.idx_prev,
+                    T_prev_curr=np.linalg.inv(T_all[p]),
+                    weight=float(conf[p]),
+                    n_matches=int(nm[p]),
+                )
+            )
+            n += 1
+        return n
 
     def _load_pair(self, cand: RawCandidate):
         la = self.images.get("left", cand.idx_curr)

@@ -70,8 +70,7 @@ def _normalized(xy: jax.Array, rig: stereo.RectifiedRig) -> jax.Array:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def verify_pair(
+def _verify_pair_impl(
     cfg: VerifyConfig,
     key: jax.Array,
     left_a: jax.Array,  # (H, W) rectified grayscale float32
@@ -159,3 +158,30 @@ def verify_pair(
         consistent=consistent,
         accepted=accepted,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def verify_pair(cfg, key, left_a, right_a, left_b, right_b, rig) -> VerifiedLoop:
+    return _verify_pair_impl(cfg, key, left_a, right_a, left_b, right_b, rig)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def verify_pair_batch(
+    cfg: VerifyConfig,
+    keys: jax.Array,  # (P, 2) PRNG keys
+    left_a: jax.Array,  # (P, H, W)
+    right_a: jax.Array,
+    left_b: jax.Array,
+    right_b: jax.Array,
+    rig: stereo.RectifiedRig,
+) -> VerifiedLoop:
+    """vmap'd verification: P candidate pairs in one device dispatch.
+
+    The reference processes candidates one at a time at 1 Hz on a CPU core
+    (src/Cerebro.cpp:1203); here a whole batch of pairs — stereo depth,
+    matching, and all three RANSAC pose options — executes as one fused
+    XLA program. All VerifiedLoop fields gain a leading P axis.
+    """
+    return jax.vmap(
+        _verify_pair_impl, in_axes=(None, 0, 0, 0, 0, 0, None)
+    )(cfg, keys, left_a, right_a, left_b, right_b, rig)
