@@ -5,3 +5,4 @@ from cerebro_tpu.posegraph.optimizer import (  # noqa: F401
     poses_from_xyzyaw,
     relative_yaw_t,
 )
+from cerebro_tpu.posegraph.distributed import optimize_sharded, pad_graph  # noqa: F401

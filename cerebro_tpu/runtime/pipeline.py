@@ -415,6 +415,52 @@ class CerebroPipeline:
             for c in self.candidates
         ]
 
+    def dump_debug(self, directory: str) -> None:
+        """End-of-run debug dump (parity: the reference's __LOGGING__ block,
+        src/cerebro_node.cpp:613-839 — JSON state + per-candidate annotated
+        image pairs): status.json, loop_edges.json, trajectory render, and a
+        side-by-side match image per accepted loop edge."""
+        import json
+        import os
+
+        from cerebro_tpu.ops import features
+        from cerebro_tpu.utils.plot import side_by_side_matches, trajectory_topdown
+
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "status.json"), "w") as f:
+            json.dump(self.status(), f, indent=2)
+        with open(os.path.join(directory, "loop_edges.json"), "w") as f:
+            json.dump([e.as_json() for e in self.loop_edges], f, indent=2)
+
+        traj = self.optimize_trajectory()
+        if traj is not None:
+            img = trajectory_topdown(
+                traj,
+                world_id=self.store.world_id[: self.store.size],
+                loop_pairs=[(e.idx_prev, e.idx_curr) for e in self.loop_edges],
+            )
+            np.save(os.path.join(directory, "trajectory.npy"), traj)
+            np.save(os.path.join(directory, "trajectory_render.npy"), img)
+
+        for k, e in enumerate(self.loop_edges):
+            la = self.images.get("left", e.idx_curr)
+            lb = self.images.get("left", e.idx_prev)
+            if la is None or lb is None:
+                continue
+            m = features.match_image_pair(
+                jnp.asarray(la, jnp.float32),
+                jnp.asarray(lb, jnp.float32),
+                max_kp=self.cfg.verify.max_features,
+                gms_factor=self.cfg.verify.gms_factor,
+            )
+            img = side_by_side_matches(
+                la, lb,
+                np.asarray(m.xy_a), np.asarray(m.xy_b), np.asarray(m.valid),
+                accepted=True,
+                banner=f"edge {e.idx_prev}->{e.idx_curr}",
+            )
+            np.save(os.path.join(directory, f"pair_{k:04d}.npy"), img)
+
     def status(self) -> dict:
         return {
             "frames": self.store.size,

@@ -176,3 +176,30 @@ def test_image_store_save_load_roundtrip(tmp_path):
         str(tmp_path / "ckpt"), stash_dir=str(tmp_path / "s2")
     )
     np.testing.assert_array_equal(store2.get("left", 7), img)
+
+
+def test_dump_debug_writes_artifacts(tmp_path, scene):
+    cfg = small_config(tmp_path)
+    pipe = CerebroPipeline(cfg, rig=make_rig())
+    t = 0.0
+    for i in range(14):
+        la, ra = scene[i]
+        pipe.ingest_frame(t, la, n_tracked=100, pose=camera_pose(i), right_img=ra)
+        t += 1.0
+    t = 20.0
+    for i in range(2, 4):
+        la, ra = scene[i]
+        pipe.ingest_frame(t, la, n_tracked=100, pose=camera_pose(14 + i - 2), right_img=ra)
+        t += 1.0
+    pipe.flush_descriptors()
+    pipe.verify_pending()
+
+    out = tmp_path / "debug"
+    pipe.dump_debug(str(out))
+    import os
+
+    files = set(os.listdir(out))
+    assert "status.json" in files and "loop_edges.json" in files
+    assert "trajectory.npy" in files and "trajectory_render.npy" in files
+    if pipe.loop_edges:
+        assert any(f.startswith("pair_") for f in files)

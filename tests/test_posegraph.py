@@ -179,3 +179,35 @@ def test_multi_world_merge(rng):
     after = ate(np.asarray(x_opt), x_gt)
     assert after < 0.6, f"merged ATE {after}"
     assert np.all(np.asarray(switches) > 0.5)
+
+
+def test_sharded_optimizer_matches_single_device(rng):
+    """Edge-sharded GN on the 8-device mesh must match the single-device
+    optimizer (same problem, same iterations)."""
+    from cerebro_tpu.parallel import make_mesh
+    from cerebro_tpu.posegraph.distributed import optimize_sharded, pad_graph
+
+    n = 60
+    x_gt = circle_traj(n)
+    odo = odo_measurements(x_gt, rng)
+    x_init = integrate(odo, x_gt[0])
+    T = to_poses(x_gt)
+    loops = [(n - 1, 0), (n - 2, 1), (n - 3, 2)]
+    lm = [np.asarray(relative_yaw_t(jnp.asarray(T[a]), jnp.asarray(T[b]))) for a, b in loops]
+    g = build_graph(x_init, odo, loops, lm)
+
+    x_ref, sw_ref, cost_ref = optimize(g, CFG)
+
+    mesh = make_mesh()
+    gp = pad_graph(g, mesh.shape["db"])
+    x_sh, sw_sh, cost_sh = optimize_sharded(gp, CFG, mesh)
+
+    # truncated CG + different reduction orders drift slightly on this
+    # ill-conditioned chain; require same solution basin + equal quality
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref), atol=0.15, rtol=0)
+    np.testing.assert_allclose(
+        np.asarray(sw_sh)[:3], np.asarray(sw_ref)[:3], atol=2e-2
+    )
+    np.testing.assert_allclose(float(cost_sh), float(cost_ref), rtol=0.1)
+    # and it actually solved the problem
+    assert ate(np.asarray(x_sh), x_gt) < 0.5 * ate(x_init, x_gt)

@@ -50,3 +50,48 @@ def test_train_step_sharded_matches_unsharded(rng):
     _, loss_plain = train_step(net, tx, state_a, imgs, labels)
     _, loss_shard = train_step(net, tx, state_b, imgs, labels, mesh=mesh)
     np.testing.assert_allclose(float(loss_plain), float(loss_shard), rtol=2e-3)
+
+
+def test_ghostvlad_forward():
+    import flax.linen as nn
+    from cerebro_tpu.models import GhostVLAD
+
+    layer = GhostVLAD(num_clusters=4, num_ghost=2)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 16)), jnp.float32)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    out = layer.apply(params, x)
+    assert out.shape == (2, 4 * 16)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(out, axis=-1)), 1.0, atol=1e-5)
+
+
+def test_training_improves_place_discrimination(rng):
+    """After a few steps on place-labelled synthetic images, same-place
+    descriptor similarity must exceed cross-place similarity by a margin
+    that the untrained net lacks (SURVEY.md hard part (f))."""
+    net, params = create_descriptor_model(SMALL, seed=1)
+
+    # 4 "places", 4 views each: views = base + small noise
+    bases = [rng.integers(0, 255, size=(64, 64, 1)).astype(np.int32) for _ in range(4)]
+    imgs, labels = [], []
+    for p, b in enumerate(bases):
+        for _ in range(4):
+            imgs.append(np.clip(b + rng.integers(-12, 12, b.shape), 0, 255).astype(np.uint8))
+            labels.append(p)
+    x = jnp.asarray(np.stack(imgs))
+    y = jnp.asarray(np.asarray(labels, np.int32))
+
+    def margin(params):
+        d = np.asarray(net.apply(params, (x.astype(jnp.float32) - 128.0) * (2.0 / 255.0)))
+        s = d @ d.T
+        same = (y[:, None] == y[None, :]) & ~np.eye(16, dtype=bool)
+        pos = s[np.asarray(same)].mean()
+        neg = s[np.asarray(~(y[:, None] == y[None, :]))].mean()
+        return pos - neg
+
+    m0 = margin(params)
+    state, tx = create_train_state(params, lr=1e-3)
+    for _ in range(30):
+        state, loss = train_step(net, tx, state, x, y)
+    m1 = margin(state.params)
+    assert m1 > m0 + 0.05, f"margin {m0:.3f} -> {m1:.3f}"
+    assert m1 > 0.3
