@@ -228,6 +228,28 @@ def disparity_to_points(
     return pts, ok
 
 
+@jax.jit
+def depth_to_points(
+    depth: jax.Array,  # (H, W) metres (0 / non-finite = invalid)
+    rig: RectifiedRig,
+    min_depth: float = 0.1,
+    max_depth: float = 25.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Direct depth-image unprojection — the depth-camera input path (the
+    reference ingests CV_16UC1 depth images from realsense rigs,
+    src/DataManager.cpp:851-886, src/ImageDataManager.cpp:254-259) as an
+    alternative to stereo block matching."""
+    H, W = depth.shape
+    z = depth
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    x = (u - rig.cx) * z / rig.fx
+    y = (v - rig.cy) * z / rig.fy
+    pts = jnp.stack([jnp.broadcast_to(x, (H, W)), jnp.broadcast_to(y, (H, W)), z], axis=-1)
+    ok = jnp.isfinite(z) & (z > min_depth) & (z < max_depth)
+    return pts, ok
+
+
 @functools.partial(jax.jit, static_argnames=("num_disp", "block"))
 def depth_pipeline_rectified(
     left: jax.Array,

@@ -49,6 +49,7 @@ def save_pipeline_state(pipe: CerebroPipeline, directory: str) -> None:
         os.path.join(directory, "keyframes.npz"), **pipe.store.to_state_dict()
     )
     manifest = {
+        "format_version": 1,
         "db_row_to_store": pipe.db_row_to_store,
         "kidnap": pipe.kidnap.info(),
         "loop_edges": [e.as_json() for e in pipe.loop_edges],
@@ -73,6 +74,11 @@ def load_pipeline_state(
     directory = os.path.abspath(directory)
     with open(os.path.join(directory, "manifest.json")) as f:
         manifest = json.load(f)
+    version = manifest.get("format_version", 0)
+    if version > 1:
+        raise ValueError(
+            f"checkpoint format v{version} is newer than this build supports (v1)"
+        )
 
     pipe = CerebroPipeline(cfg=cfg, rig=rig, describe_fn=describe_fn, params=params)
     assert pipe.db.dim == manifest["descriptor_dim"], (

@@ -47,7 +47,7 @@ from cerebro_tpu.posegraph import (
     poses_from_xyzyaw,
     relative_yaw_t,
 )
-from cerebro_tpu.verify import verify_pair
+from cerebro_tpu.verify import verify_pair, verify_pair_depth
 from cerebro_tpu.verify.geometric import verify_pair_batch
 
 
@@ -146,6 +146,7 @@ class CerebroPipeline:
         n_tracked: int,
         pose: Optional[np.ndarray] = None,  # (4,4) VINS w_T_c
         right_img: Optional[np.ndarray] = None,
+        depth_img: Optional[np.ndarray] = None,  # (H, W) metres (depth cam)
         is_keyframe: bool = True,
     ):
         """One camera frame. Returns kidnap events fired by this frame."""
@@ -161,6 +162,8 @@ class CerebroPipeline:
             self.images.put("left", idx, np.asarray(left_img))
             if right_img is not None:
                 self.images.put("right", idx, np.asarray(right_img))
+            if depth_img is not None:
+                self.images.put("depth", idx, np.asarray(depth_img))
             # descriptor eligibility (ref skips kidnapped <20-feat frames,
             # src/Cerebro.cpp:206-210)
             if n_tracked >= self.cfg.descriptor.min_tracked_features:
@@ -258,12 +261,28 @@ class CerebroPipeline:
         self.candidates = [] if max_pairs is None else self.candidates[max_pairs:]
 
         loadable = []
+        depth_pairs = []
         for cand in todo:
             pair = self._load_pair(cand)
-            if pair is not None:
-                loadable.append((cand, pair))
+            if pair is None:
+                continue
+            if pair[0] == "depth":
+                depth_pairs.append((cand, pair[1:]))
+            else:
+                loadable.append((cand, pair[1:]))
 
         n_accepted = 0
+        # depth-camera candidates (one dispatch each)
+        for cand, (la, da, lb, db_) in depth_pairs:
+            self._verify_key, sub = jax.random.split(self._verify_key)
+            res = verify_pair_depth(
+                self.cfg.verify, sub,
+                jnp.asarray(lb), jnp.asarray(db_),  # frame a := prev
+                jnp.asarray(la), jnp.asarray(da),  # frame b := curr
+                self.rig,
+            )
+            n_accepted += self._emit_edges([cand], _expand(res))
+
         i = 0
         while i < len(loadable):
             chunk = loadable[i : i + device_batch]
@@ -320,18 +339,34 @@ class CerebroPipeline:
         return n
 
     def _load_pair(self, cand: RawCandidate):
+        """Stereo pair if both frames have right images; falls back to
+        depth images (depth-camera rigs). Returns None when neither is
+        complete."""
         la = self.images.get("left", cand.idx_curr)
-        ra = self.images.get("right", cand.idx_curr)
         lb = self.images.get("left", cand.idx_prev)
-        rb = self.images.get("right", cand.idx_prev)
-        if la is None or ra is None or lb is None or rb is None:
+        if la is None or lb is None:
             return None
-        return (
-            np.asarray(la, np.float32),
-            np.asarray(ra, np.float32),
-            np.asarray(lb, np.float32),
-            np.asarray(rb, np.float32),
-        )
+        ra = self.images.get("right", cand.idx_curr)
+        rb = self.images.get("right", cand.idx_prev)
+        if ra is not None and rb is not None:
+            return (
+                "stereo",
+                np.asarray(la, np.float32),
+                np.asarray(ra, np.float32),
+                np.asarray(lb, np.float32),
+                np.asarray(rb, np.float32),
+            )
+        da = self.images.get("depth", cand.idx_curr)
+        db_ = self.images.get("depth", cand.idx_prev)
+        if da is not None and db_ is not None:
+            return (
+                "depth",
+                np.asarray(la, np.float32),
+                np.asarray(da, np.float32),
+                np.asarray(lb, np.float32),
+                np.asarray(db_, np.float32),
+            )
+        return None
 
     # ------------------------------------------------------------------
     # Trajectory optimization (pose graph over keyframes)

@@ -86,7 +86,37 @@ def _verify_pair_impl(
     pts_b, ok_b, _ = stereo.depth_pipeline_rectified(
         left_b, right_b, rig, num_disp=cfg.num_disparities, block=cfg.block_size
     )
+    return _verify_from_points(cfg, key, left_a, pts_a, ok_a, left_b, pts_b, ok_b, rig)
 
+
+def _verify_pair_depth_impl(
+    cfg: VerifyConfig,
+    key: jax.Array,
+    left_a: jax.Array,  # (H, W) grayscale float32
+    depth_a: jax.Array,  # (H, W) metres
+    left_b: jax.Array,
+    depth_b: jax.Array,
+    rig: stereo.RectifiedRig,
+) -> VerifiedLoop:
+    """Depth-camera variant: 3D structure from the depth images directly
+    (the reference's realsense/depth-topic rigs) — same matching, same
+    3-way pose compute, same gates."""
+    pts_a, ok_a = stereo.depth_to_points(depth_a, rig, cfg.min_depth, cfg.max_depth)
+    pts_b, ok_b = stereo.depth_to_points(depth_b, rig, cfg.min_depth, cfg.max_depth)
+    return _verify_from_points(cfg, key, left_a, pts_a, ok_a, left_b, pts_b, ok_b, rig)
+
+
+def _verify_from_points(
+    cfg: VerifyConfig,
+    key: jax.Array,
+    left_a: jax.Array,
+    pts_a: jax.Array,
+    ok_a: jax.Array,
+    left_b: jax.Array,
+    pts_b: jax.Array,
+    ok_b: jax.Array,
+    rig: stereo.RectifiedRig,
+) -> VerifiedLoop:
     # --- point matches between the two left images (ref :1484-1493) ---
     m = features.match_image_pair(
         left_a, left_b, max_kp=cfg.max_features, gms_factor=cfg.gms_factor
@@ -185,3 +215,8 @@ def verify_pair_batch(
     return jax.vmap(
         _verify_pair_impl, in_axes=(None, 0, 0, 0, 0, 0, None)
     )(cfg, keys, left_a, right_a, left_b, right_b, rig)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def verify_pair_depth(cfg, key, left_a, depth_a, left_b, depth_b, rig) -> VerifiedLoop:
+    return _verify_pair_depth_impl(cfg, key, left_a, depth_a, left_b, depth_b, rig)

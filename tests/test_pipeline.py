@@ -203,3 +203,50 @@ def test_dump_debug_writes_artifacts(tmp_path, scene):
     assert "trajectory.npy" in files and "trajectory_render.npy" in files
     if pipe.loop_edges:
         assert any(f.startswith("pair_") for f in files)
+
+
+def test_pipeline_depth_camera_mode(tmp_path, scene):
+    """Depth-camera rig: no right images; per-pixel depth drives
+    verification (the reference's realsense path)."""
+    from test_verify import FX, CX, CY, Z_NEAR, Z_FAR, X_SPLIT, H as IH, W as IW
+
+    cfg = small_config(tmp_path)
+    pipe = CerebroPipeline(cfg, rig=make_rig())
+
+    def depth_map(w_T_c):
+        # analytic depth of the two-plane scene from this viewpoint
+        R, tvec = w_T_c[:3, :3], w_T_c[:3, 3]
+        u, v = np.meshgrid(np.arange(IW, dtype=np.float32), np.arange(IH, dtype=np.float32))
+        rays = np.stack([(u - CX) / 300.0, (v - CY) / 300.0, np.ones_like(u)], -1)
+        dirs = rays @ R.T
+        s_near = (Z_NEAR - tvec[2]) / dirs[..., 2]
+        p_near = tvec[None, None, :] + s_near[..., None] * dirs
+        use_near = p_near[..., 0] < X_SPLIT
+        s = np.where(use_near, s_near, (Z_FAR - tvec[2]) / dirs[..., 2])
+        return (s * rays[..., 2] * np.linalg.norm([1.0])).astype(np.float32) * 1.0
+
+    t = 0.0
+    for i in range(14):
+        la, _ = scene[i]
+        pipe.ingest_frame(
+            t, la, n_tracked=100, pose=camera_pose(i),
+            depth_img=depth_map(camera_pose(i)),
+        )
+        t += 1.0
+    t = 20.0
+    for i in range(2, 6):
+        la, _ = scene[i]
+        pipe.ingest_frame(
+            t, la, n_tracked=100, pose=camera_pose(14 + (i - 2)),
+            depth_img=depth_map(camera_pose(i)),
+        )
+        t += 1.0
+    pipe.flush_descriptors()
+    assert pipe.status()["pending_candidates"] >= 1
+    n = pipe.verify_pending()
+    assert n >= 1, pipe.status()
+    for e in pipe.loop_edges:
+        ang, trans = se3.pose_delta_metrics(
+            jnp.eye(4), jnp.asarray(e.T_prev_curr.astype(np.float32))
+        )
+        assert float(ang) < 1.5 and float(trans) < 0.1
