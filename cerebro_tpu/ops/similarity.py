@@ -165,3 +165,43 @@ def search_topk(
     ref src/Cerebro.cpp:460). Returns (values (Q,k), indices (Q,k))."""
     s = scores_xla(queries, db, limits)
     return jax.lax.top_k(s, k)
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized search: half the HBM traffic and double the DB capacity.
+# Descriptors are unit-norm, so symmetric per-row scaling loses ~1e-2 in
+# the dot product — far inside the 0.85 detection threshold's margin.
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def quantize_rows(x: jax.Array):
+    """(N, D) float -> (values int8 (N, D), scales f32 (N,))."""
+    absmax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x / scale[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+@jax.jit
+def max_and_argmax_int8(
+    queries: jax.Array,  # (Q, D) float
+    db_q: jax.Array,  # (N, D) int8
+    db_scale: jax.Array,  # (N,) f32
+    limits: jax.Array,  # (Q,) int32
+):
+    """Per-query (max, argmax) over an int8-quantized DB. The MXU runs the
+    int8 x int8 -> int32 contraction natively; scales apply to the (Q, N)
+    result before masking."""
+    q_q, q_scale = quantize_rows(queries)
+    s = jax.lax.dot_general(
+        q_q,
+        db_q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    s = s * q_scale[:, None] * db_scale[None, :]
+    n = db_q.shape[0]
+    col = jnp.arange(n, dtype=jnp.int32)[None, :]
+    s = jnp.where(col < limits[:, None], s, NEG_INF)
+    return jnp.max(s, axis=1), jnp.argmax(s, axis=1)

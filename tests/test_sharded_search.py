@@ -84,3 +84,27 @@ def test_detect_batch_sharded_matches_single(rng):
     np.testing.assert_array_equal(np.asarray(c.prev_idx), np.asarray(c_ref.prev_idx))
     assert bool(c.valid[2]) and bool(c.valid[3])  # 3rd+4th queries have full triples
     assert int(c.prev_idx[3]) == 13
+
+
+def test_int8_search_matches_f32(rng):
+    """Quantized search must agree with f32 on unit descriptors: same
+    argmax, scores within 2e-2."""
+    from cerebro_tpu.ops.similarity import max_and_argmax_int8, quantize_rows
+
+    vecs = rng.normal(size=(2048, D)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+    # plant strong matches so argmax is meaningful
+    q = rng.normal(size=(8, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    for i in range(8):
+        vecs[100 + 7 * i] = q[i] + 0.05 * rng.normal(size=D)
+        vecs[100 + 7 * i] /= np.linalg.norm(vecs[100 + 7 * i])
+
+    limits = jnp.full((8,), 2048, jnp.int32)
+    mx_ref, ar_ref = similarity.max_and_argmax(
+        jnp.asarray(q), jnp.asarray(vecs), limits, use_pallas=False
+    )
+    dbq, dbs = quantize_rows(jnp.asarray(vecs))
+    mx, ar = max_and_argmax_int8(jnp.asarray(q), dbq, dbs, limits)
+    np.testing.assert_array_equal(np.asarray(ar), np.asarray(ar_ref))
+    np.testing.assert_allclose(np.asarray(mx), np.asarray(mx_ref), atol=2e-2)
