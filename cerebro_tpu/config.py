@@ -55,6 +55,11 @@ class LoopConfig:
     plus the faiss variants and HypothesisManager.
     """
 
+    # Candidate-generation method (ref Cerebro::run dispatch,
+    # src/Cerebro.cpp:350-357): "A" dense argmax + 3-way temporal
+    # consistency (default), "B" top-k naive, "C" top-k clique merging,
+    # "D" multi-hypothesis TTL tracking.
+    method: str = "A"
     # Dot-product acceptance threshold (ref src/Cerebro.cpp:912 DOT_PROD_THRESH).
     dot_threshold: float = 0.85
     # The argmaxes of the newest 3 descriptors' score vectors must agree
@@ -76,6 +81,10 @@ class LoopConfig:
     hypothesis_ttl: int = 20  # ref src/HypothesisManager.h:32
     hypothesis_locality: int = 7  # ref src/HypothesisManager.cpp:51
     hypothesis_decay: int = 4  # ref src/HypothesisManager.cpp:74-86
+    # support needed to promote a hypothesis to a loop candidate (the
+    # reference's digest logic is marked 'under development'; 3 mirrors the
+    # 3-consecutive-frame rule of Method A)
+    hypothesis_promote: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -90,6 +90,9 @@ def clique_topk_candidates(
     (_,), (centers, scores, oks) = jax.lax.scan(
         pick, (support,), None, length=n_cliques
     )
-    curr = jnp.broadcast_to(query_idx[-1], centers.shape)
-    # need at least 2 supporting hits (a real clique, not a lone spike)
-    return curr, centers, scores, oks & (scores > threshold)
+    # attribute cliques to the newest VALID query (partial batches pad
+    # query_idx past the appended rows — indexing [-1] blindly would point
+    # at a frame that does not exist yet)
+    last_valid = jnp.max(jnp.where(query_valid, query_idx, -1))
+    curr = jnp.broadcast_to(last_valid, centers.shape)
+    return curr, centers, scores, oks & (scores > threshold) & (last_valid >= 0)

@@ -135,6 +135,12 @@ class CerebroPipeline:
         self.loop_edges: List[LoopEdge] = []
         self._verify_key = jax.random.PRNGKey(seed + 1)
 
+        # Method-D state (HypothesisManager equivalent)
+        from cerebro_tpu.loop.hypothesis import create_table
+
+        self.hyp_table = create_table(64)
+        self._hyp_emitted = np.zeros(64, bool)
+
     # ------------------------------------------------------------------
     # Ingest
     # ------------------------------------------------------------------
@@ -216,18 +222,13 @@ class CerebroPipeline:
         qvalid = jnp.asarray(np.arange(B) < n_valid)
 
         self.db = ddb.append(self.db, descs, jnp.asarray(n_valid))
-        cands, self.det_state = detector.detect_batch(
-            self.cfg.loop, self.db, self.det_state, descs, gidx, qvalid
-        )
+        pairs = self._run_method(descs, gidx, qvalid, n_valid)
         self.db_row_to_store.extend(store_idx[:n_valid])
         self.store.mark_described(np.asarray(store_idx[:n_valid]))
 
-        valid = np.asarray(cands.valid)
-        for k in range(n_valid):
-            if not valid[k]:
-                continue
-            curr = self.db_row_to_store[int(cands.curr_idx[k])]
-            prev = self.db_row_to_store[int(cands.prev_idx[k])]
+        for curr_row, prev_row, score in pairs:
+            curr = self.db_row_to_store[curr_row]
+            prev = self.db_row_to_store[prev_row]
             # Δt gate (ref rejects pairs <10 s apart,
             # src/ProcessedLoopCandidate.cpp:49-56)
             if (
@@ -236,10 +237,67 @@ class CerebroPipeline:
             ):
                 continue
             self.candidates.append(
-                RawCandidate(
-                    idx_curr=curr, idx_prev=prev, score=float(cands.score[k])
-                )
+                RawCandidate(idx_curr=curr, idx_prev=prev, score=score)
             )
+
+    def _run_method(self, descs, gidx, qvalid, n_valid):
+        """Candidate generation per configured method (ref Cerebro::run
+        dispatch, src/Cerebro.cpp:350-357). Returns [(curr_row, prev_row,
+        score)] in DB-row coordinates."""
+        cfg = self.cfg.loop
+        method = cfg.method
+
+        if method == "A":
+            cands, self.det_state = detector.detect_batch(
+                cfg, self.db, self.det_state, descs, gidx, qvalid
+            )
+            valid = np.asarray(cands.valid)
+            return [
+                (int(cands.curr_idx[k]), int(cands.prev_idx[k]), float(cands.score[k]))
+                for k in range(n_valid)
+                if valid[k]
+            ]
+
+        from cerebro_tpu.db.descriptors import query_limits
+        from cerebro_tpu.loop.hypothesis import update as hyp_update
+        from cerebro_tpu.loop.topk_methods import (
+            clique_topk_candidates,
+            naive_topk_candidates,
+        )
+        from cerebro_tpu.ops.similarity import search_topk
+
+        limits = query_limits(self.db, gidx, cfg.exclusion_window)
+        vals, idx = search_topk(descs, self.db.vectors, limits, k=cfg.top_k)
+
+        if method == "B":
+            curr, prev, score, ok = naive_topk_candidates(
+                cfg, vals, idx, gidx, qvalid
+            )
+        elif method == "C":
+            curr, prev, score, ok = clique_topk_candidates(
+                cfg, vals, idx, gidx, qvalid
+            )
+        elif method == "D":
+            hits_ok = qvalid & (vals[:, 0] > cfg.dot_threshold)
+            self.hyp_table, promoted, a_t, b_t, mean_s = hyp_update(
+                cfg, self.hyp_table, gidx, idx[:, 0], vals[:, 0], hits_ok,
+                promote_support=cfg.hypothesis_promote,
+            )
+            keep = np.asarray(promoted) & ~self._hyp_emitted
+            self._hyp_emitted |= np.asarray(promoted)
+            return [
+                (int(a_t[i]), int(b_t[i]), float(mean_s[i]))
+                for i in np.nonzero(keep)[0]
+            ]
+        else:
+            raise ValueError(f"unknown loop method {method!r}")
+
+        okn = np.asarray(ok)
+        return [
+            (int(curr[k]), int(prev[k]), float(score[k]))
+            for k in range(len(okn))
+            if okn[k]
+        ]
 
     # ------------------------------------------------------------------
     # Verification stage

@@ -250,3 +250,28 @@ def test_pipeline_depth_camera_mode(tmp_path, scene):
             jnp.eye(4), jnp.asarray(e.T_prev_curr.astype(np.float32))
         )
         assert float(ang) < 1.5 and float(trans) < 0.1
+
+
+def test_pipeline_method_selection(tmp_path, scene):
+    """Methods B and D must also find the planted revisit (ref Cerebro::run
+    dispatches between 4 candidate-generation strategies)."""
+    for method in ["B", "C", "D"]:
+        cfg = small_config(tmp_path)
+        cfg = dataclasses.replace(
+            cfg, loop=dataclasses.replace(cfg.loop, method=method)
+        )
+        pipe = CerebroPipeline(cfg, rig=make_rig())
+        t = 0.0
+        for i in range(14):
+            la, ra = scene[i]
+            pipe.ingest_frame(t, la, n_tracked=100, pose=camera_pose(i), right_img=ra)
+            t += 1.0
+        t = 20.0
+        for i in range(2, 6):
+            la, ra = scene[i]
+            pipe.ingest_frame(t, la, n_tracked=100, pose=camera_pose(14 + (i - 2)), right_img=ra)
+            t += 1.0
+        pipe.flush_descriptors()
+        assert pipe.status()["pending_candidates"] >= 1, (method, pipe.status())
+        for c in pipe.candidates:
+            assert c.idx_curr >= 14 and c.idx_prev <= 6, (method, c)
