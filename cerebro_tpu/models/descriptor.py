@@ -61,6 +61,21 @@ def create_descriptor_model(
     return net, params
 
 
+def load_descriptor_params(directory: str, cfg: DescriptorConfig, seed: int = 0):
+    """Load a trained-weights artifact (e.g. scripts/pretrain_synthetic.py
+    output) shaped for ``cfg``. Returns (net, params)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    net, params0 = create_descriptor_model(cfg, seed=seed)
+    ckpt = ocp.StandardCheckpointer()
+    params = ckpt.restore(
+        os.path.abspath(os.path.join(directory, "params")), params0
+    )
+    return net, params
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def describe_batch(net: DescriptorNet, params, images_u8: jax.Array) -> jax.Array:
     """uint8 image batch (B,H,W,C) -> (B, D) unit descriptors, on device.
