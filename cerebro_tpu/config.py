@@ -154,14 +154,16 @@ class PoseGraphConfig:
     solve_keyframe_pose_graph repo, now in-framework — ref README.md:176-194).
     """
 
-    # 4-DOF (yaw + translation) matches the ceres fallback solver
-    # (ref src/DlsPnpWithRansac.cpp:253-398); 6-DOF also supported.
+    # 4-DOF (x, y, z, yaw — VINS drift dims, the reference ecosystem's
+    # parameterization) or 6-DOF (full se(3) twists).
     dof: int = 4
     max_gn_iters: int = 25
     cg_iters: int = 100
-    # Switch-constraint (robust loop edge) prior weight, DCS/SC style.
+    # Switch-constraint (robust loop edge) prior weight, DCS/SC style —
+    # this is the robustifier for outlier loop edges (the role the
+    # reference ecosystem's switch-constrained solver plays; no separate
+    # Huber kernel is layered on top).
     switch_prior_weight: float = 1.0
-    huber_delta: float = 0.1  # ref Huber(0.1), src/DlsPnpWithRansac.cpp:320
     damping: float = 1e-6
 
 

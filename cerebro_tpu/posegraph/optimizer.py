@@ -84,15 +84,24 @@ def _rotz(yaw: jax.Array) -> jax.Array:
 
 
 def _edge_residual(x: jax.Array, ei, ej, meas):
-    """4-DOF between-edge residual, vectorized over edges."""
-    xi = x[ei]  # (E, 4)
-    xj = x[ej]
-    Ri_T = jnp.swapaxes(_rotz(xi[:, 3]), -1, -2)  # (E, 3, 3)
-    dt_pred = jnp.einsum("eij,ej->ei", Ri_T, xj[:, :3] - xi[:, :3])
-    dyaw_pred = xj[:, 3] - xi[:, 3]
-    r_t = dt_pred - meas[:, :3]
-    r_y = _wrap(dyaw_pred - meas[:, 3])
-    return jnp.concatenate([r_t, r_y[:, None]], axis=-1)  # (E, 4)
+    """Between-edge residual, vectorized over edges. Dispatches on the
+    state width: (N, 4) -> 4-DOF (x, y, z, yaw); (N, 6) -> full se(3)
+    twists with log-map residuals."""
+    if x.shape[-1] == 4:
+        xi = x[ei]  # (E, 4)
+        xj = x[ej]
+        Ri_T = jnp.swapaxes(_rotz(xi[:, 3]), -1, -2)  # (E, 3, 3)
+        dt_pred = jnp.einsum("eij,ej->ei", Ri_T, xj[:, :3] - xi[:, :3])
+        dyaw_pred = xj[:, 3] - xi[:, 3]
+        r_t = dt_pred - meas[:, :3]
+        r_y = _wrap(dyaw_pred - meas[:, 3])
+        return jnp.concatenate([r_t, r_y[:, None]], axis=-1)  # (E, 4)
+    # 6-DOF: r = log( T_meas^-1 · T_i^-1 · T_j ), meas stored as twists
+    Ti = se3.se3_exp(x[ei])  # (E, 4, 4)
+    Tj = se3.se3_exp(x[ej])
+    Tm = se3.se3_exp(meas)
+    D = se3.pose_inverse(Tm) @ se3.pose_inverse(Ti) @ Tj
+    return se3.se3_log(D)  # (E, 6)
 
 
 def _residuals(params, graph: PoseGraph, cfg: PoseGraphConfig):
@@ -247,3 +256,8 @@ def initialize_worlds(
                 anchored.add(wj)
                 changed = True
     return x
+
+
+def relative_se3(T_i: jax.Array, T_j: jax.Array) -> jax.Array:
+    """6-DOF measurement twist of j in i's frame (for dof=6 graphs)."""
+    return se3.se3_log(se3.pose_inverse(T_i) @ T_j)

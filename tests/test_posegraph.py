@@ -211,3 +211,56 @@ def test_sharded_optimizer_matches_single_device(rng):
     np.testing.assert_allclose(float(cost_sh), float(cost_ref), rtol=0.1)
     # and it actually solved the problem
     assert ate(np.asarray(x_sh), x_gt) < 0.5 * ate(x_init, x_gt)
+
+
+def test_6dof_loop_closure(rng):
+    """Full-SE(3) mode: drift with pitch/roll content corrected by a
+    closure (the 4-DOF mode cannot express out-of-plane rotation error)."""
+    from cerebro_tpu.posegraph.optimizer import relative_se3
+
+    n = 40
+    # ground-truth twisting 3D trajectory
+    xi_gt = np.zeros((n, 6), np.float32)
+    for i in range(1, n):
+        xi_gt[i] = xi_gt[i - 1] + np.array([0.3, 0.02, 0.05, 0.01, 0.015, 0.02], np.float32)
+    T_gt = np.asarray(se3.se3_exp(jnp.asarray(xi_gt)))
+
+    odo, noise = [], np.random.default_rng(0)
+    for i in range(n - 1):
+        m = np.array(relative_se3(jnp.asarray(T_gt[i]), jnp.asarray(T_gt[i + 1])))
+        m += noise.normal(0, 0.004, 6)
+        odo.append(m)
+    odo = np.asarray(odo, np.float32)
+
+    # integrate drifted initialization
+    x_init = np.zeros((n, 6), np.float32)
+    T = np.eye(4, dtype=np.float32)
+    Ts = [T]
+    for m in odo:
+        T = T @ np.asarray(se3.se3_exp(jnp.asarray(m)))
+        Ts.append(T.astype(np.float32))
+    x_init = np.asarray(se3.se3_log(jnp.asarray(np.stack(Ts))))
+
+    drift = float(np.linalg.norm(np.stack(Ts)[:, :3, 3] - T_gt[:, :3, 3], axis=-1).mean())
+
+    loops = [(n - 1, 0), (n - 2, 1)]
+    lm = [np.array(relative_se3(jnp.asarray(T_gt[a]), jnp.asarray(T_gt[b]))) for a, b in loops]
+    g = PoseGraph(
+        xyzyaw=jnp.asarray(x_init),
+        node_valid=jnp.ones(n, dtype=bool),
+        odo_i=jnp.arange(n - 1, dtype=jnp.int32),
+        odo_j=jnp.arange(1, n, dtype=jnp.int32),
+        odo_meas=jnp.asarray(odo),
+        odo_valid=jnp.ones(n - 1, dtype=bool),
+        loop_i=jnp.asarray([a for a, _ in loops], jnp.int32),
+        loop_j=jnp.asarray([b for _, b in loops], jnp.int32),
+        loop_meas=jnp.asarray(np.asarray(lm, np.float32)),
+        loop_valid=jnp.ones(2, dtype=bool),
+    )
+    x_opt, switches, cost = optimize(g, PoseGraphConfig(dof=6, max_gn_iters=15, cg_iters=80))
+    T_opt = np.asarray(se3.se3_exp(jnp.asarray(np.asarray(x_opt))))
+    after = float(np.linalg.norm(T_opt[:, :3, 3] - T_gt[:, :3, 3], axis=-1).mean())
+    assert after < 0.6 * drift, f"6-DOF: drift {drift:.3f} -> {after:.3f}"
+    end_err = np.linalg.norm(T_opt[n - 1, :3, 3] - T_gt[n - 1, :3, 3])
+    assert end_err < 0.1, f"closure endpoint {end_err:.3f}"
+    assert np.all(np.asarray(switches) > 0.7)
