@@ -93,6 +93,10 @@ class ImageStore:
     def state_of(self, ns: str, idx: int) -> str:
         return self._state.get((ns, idx), UNAVAILABLE)
 
+    def ram_keys(self):
+        """Snapshot of (namespace, index) pairs currently RAM-resident."""
+        return list(self._ram.keys())
+
     # -- checkpoint ------------------------------------------------------
 
     def stash_all(self):

@@ -116,7 +116,6 @@ def update(
         body, table, (pairs_a, pairs_b, dots, strong)
     )
 
-    support_before = table.support
     # digest: decay TTL, kill dead hypotheses (ref -4/digest)
     ttl = table.ttl - cfg.hypothesis_decay
     alive = table.active & (ttl > 0)
@@ -134,5 +133,4 @@ def update(
         score_sum=jnp.where(alive, table.score_sum, 0.0),
         active=alive,
     )
-    del support_before
     return out, promoted, table.a_tail, table.b_tail, mean_score

@@ -59,7 +59,11 @@ def _box_filter(img: jax.Array, size: int) -> jax.Array:
     return out[0, 0]
 
 
-_SOBEL_X = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
+# numpy at module scope: a jnp constant here would initialize the backend
+# at import time (before tests/callers can select the CPU platform)
+import numpy as _np
+
+_SOBEL_X = _np.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], _np.float32)
 _SOBEL_Y = _SOBEL_X.T
 
 
@@ -88,8 +92,8 @@ def harris_corners(
     reference's ORB/FAST detector (FAST thresh 0, 5000 kp,
     src/utils/PointFeatureMatching.cpp:21)."""
     H, W = img.shape
-    gx = _conv2(img, _SOBEL_X)
-    gy = _conv2(img, _SOBEL_Y)
+    gx = _conv2(img, jnp.asarray(_SOBEL_X))
+    gy = _conv2(img, jnp.asarray(_SOBEL_Y))
     gxx = _box_filter(gx * gx, 5)
     gyy = _box_filter(gy * gy, 5)
     gxy = _box_filter(gx * gy, 5)

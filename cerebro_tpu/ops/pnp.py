@@ -97,9 +97,9 @@ def pnp_dlt(
     # Project to SO(3): R = U V^T, scale = mean(S)
     U, S, Vt = jnp.linalg.svd(Rraw)
     d = jnp.sign(jnp.linalg.det(U @ Vt))
-    Dm = jnp.diag(jnp.array([1.0, 1.0, 0.0]) + jnp.array([0.0, 0.0, 1.0]) * d)
-    R = U @ Dm @ Vt
-    scale = jnp.sum(S * jnp.diag(Dm)) / 3.0
+    diag = jnp.stack([jnp.ones(()), jnp.ones(()), d])
+    R = U @ jnp.diag(diag) @ Vt
+    scale = jnp.sum(S * diag) / 3.0
     t = t_raw / jnp.maximum(scale, 1e-12)
     return se3.make_pose(R, t)
 

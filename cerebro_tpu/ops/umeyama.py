@@ -38,12 +38,15 @@ def umeyama_rigid(
     H = jnp.einsum("n,ni,nj->ij", wn, dc, sc)
     U, S, Vt = jnp.linalg.svd(H)
     d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, 0.0]) + jnp.array([0.0, 0.0, 1.0]) * d)
+    # proper-rotation correction: flip the smallest singular direction if
+    # det(UV^T) < 0
+    diag = jnp.stack([jnp.ones(()), jnp.ones(()), d])
+    D = jnp.diag(diag)
     R = U @ D @ Vt
     t = mu_d - R @ mu_s
     # residual scale estimate (for the reference's sanity check)
     var_s = jnp.maximum(jnp.sum(wn * jnp.sum(sc * sc, axis=-1)), 1e-12)
-    scale = jnp.sum(S * jnp.diag(D)) / var_s
+    scale = jnp.sum(S * diag) / var_s
     return se3.make_pose(R, t), scale
 
 

@@ -185,7 +185,7 @@ class CerebroPipeline:
         src/DataManager.cpp:704-763)."""
         window = self.cfg.runtime.image_ram_window_s
         # scan only the RAM-resident keys (small)
-        for ns, idx in list(self.images._ram.keys()):
+        for ns, idx in self.images.ram_keys():
             if self.images.state_of(ns, idx) != "ram":
                 continue
             if now - self.store.stamps[idx] > window:
