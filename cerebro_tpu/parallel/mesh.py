@@ -26,3 +26,14 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = "db") -> Mesh:
     if num_devices is not None:
         devs = devs[:num_devices]
     return Mesh(np.asarray(devs), (axis,))
+
+
+def make_mesh_2d(
+    shape: tuple, axes: tuple = ("dp", "db")
+) -> Mesh:
+    """2D mesh: batch/data parallelism on one axis, DB-history sharding on
+    the other (e.g. hosts x chips on a pod slice: DP across hosts over DCN,
+    history sharding within a host over ICI)."""
+    n = shape[0] * shape[1]
+    devs = np.asarray(jax.devices()[:n]).reshape(shape)
+    return Mesh(devs, axes)

@@ -102,10 +102,12 @@ class CerebroPipeline:
         rig: Optional[stereo.RectifiedRig] = None,
         params=None,
         describe_fn=None,  # optional override: (B,H,W,C) uint8 -> (B,D)
+        mesh=None,  # jax.sharding.Mesh: shard the DB + search over devices
         seed: int = 0,
     ):
         self.cfg = cfg or CerebroConfig()
         self.rig = rig
+        self.mesh = mesh
         self.store = KeyframeStore()
         self.images = ImageStore(
             stash_dir=self.cfg.runtime.stash_dir,
@@ -126,6 +128,13 @@ class CerebroPipeline:
             self.describe_fn = lambda imgs: describe_batch(self.net, self.params, imgs)
             dim = self.net.descriptor_dim
         self.db = ddb.create(self.cfg.loop.db_capacity, dim)
+        if mesh is not None:
+            from cerebro_tpu.parallel import shard_db
+
+            assert self.cfg.loop.db_capacity % mesh.devices.size == 0, (
+                "db_capacity must divide evenly over the mesh"
+            )
+            self.db = shard_db(self.db, mesh, axis=self.cfg.mesh.axis_db)
         self.det_state = detector.init_state()
         # DB row -> keyframe-store index (only described keyframes enter the DB)
         self.db_row_to_store: List[int] = []
@@ -140,6 +149,11 @@ class CerebroPipeline:
 
         self.hyp_table = create_table(64)
         self._hyp_emitted = np.zeros(64, bool)
+
+        # per-stage timing (ElapsedTime parity; surfaces in status())
+        from cerebro_tpu.utils import StageTimer
+
+        self.timer = StageTimer()
 
     # ------------------------------------------------------------------
     # Ingest
@@ -212,8 +226,10 @@ class CerebroPipeline:
             for k, idx in enumerate(chunk):
                 img = self.images.get("left", idx)
                 imgs[k] = _fit_image(img, (h, w))[..., None]
-            descs = self.describe_fn(jnp.asarray(imgs))
-            self._detect(descs, chunk, len(chunk))
+            with self.timer.stage("describe"):
+                descs = self.describe_fn(jnp.asarray(imgs))
+            with self.timer.stage("detect"):
+                self._detect(descs, chunk, len(chunk))
 
     def _detect(self, descs: jax.Array, store_idx: List[int], n_valid: int):
         B = descs.shape[0]
@@ -248,9 +264,17 @@ class CerebroPipeline:
         method = cfg.method
 
         if method == "A":
-            cands, self.det_state = detector.detect_batch(
-                cfg, self.db, self.det_state, descs, gidx, qvalid
-            )
+            if self.mesh is not None:
+                from cerebro_tpu.parallel import detect_batch_sharded
+
+                cands, self.det_state = detect_batch_sharded(
+                    cfg, self.db, self.det_state, descs, gidx, qvalid,
+                    self.mesh, axis=self.cfg.mesh.axis_db,
+                )
+            else:
+                cands, self.det_state = detector.detect_batch(
+                    cfg, self.db, self.det_state, descs, gidx, qvalid
+                )
             valid = np.asarray(cands.valid)
             return [
                 (int(cands.curr_idx[k]), int(cands.prev_idx[k]), float(cands.score[k]))
@@ -267,7 +291,15 @@ class CerebroPipeline:
         from cerebro_tpu.ops.similarity import search_topk
 
         limits = query_limits(self.db, gidx, cfg.exclusion_window)
-        vals, idx = search_topk(descs, self.db.vectors, limits, k=cfg.top_k)
+        if self.mesh is not None:
+            from cerebro_tpu.parallel import sharded_topk
+
+            vals, idx = sharded_topk(
+                descs, self.db.vectors, limits, self.mesh,
+                axis=self.cfg.mesh.axis_db, k=cfg.top_k,
+            )
+        else:
+            vals, idx = search_topk(descs, self.db.vectors, limits, k=cfg.top_k)
 
         if method == "B":
             curr, prev, score, ok = naive_topk_candidates(
@@ -348,7 +380,8 @@ class CerebroPipeline:
             self._verify_key, sub = jax.random.split(self._verify_key)
             if len(chunk) == 1:
                 cand, (la, ra, lb, rb) = chunk[0]
-                res = verify_pair(
+                with self.timer.stage("verify"):
+                    res = verify_pair(
                     self.cfg.verify, sub,
                     jnp.asarray(lb), jnp.asarray(rb),  # frame a := prev
                     jnp.asarray(la), jnp.asarray(ra),  # frame b := curr
@@ -364,9 +397,10 @@ class CerebroPipeline:
                 ra = jnp.asarray(np.stack([p[1] for p in pairs]))
                 lb = jnp.asarray(np.stack([p[2] for p in pairs]))
                 rb = jnp.asarray(np.stack([p[3] for p in pairs]))
-                res = verify_pair_batch(
-                    self.cfg.verify, keys, lb, rb, la, ra, self.rig
-                )
+                with self.timer.stage("verify"):
+                    res = verify_pair_batch(
+                        self.cfg.verify, keys, lb, rb, la, ra, self.rig
+                    )
                 n_accepted += self._emit_edges([c for c, _ in chunk], res)
         return n_accepted
 
@@ -563,6 +597,7 @@ class CerebroPipeline:
             "pending_candidates": len(self.candidates),
             "loop_edges": len(self.loop_edges),
             "kidnap": self.kidnap.info(),
+            "timings_ms": self.timer.stats(),
         }
 
 

@@ -275,3 +275,32 @@ def test_pipeline_method_selection(tmp_path, scene):
         assert pipe.status()["pending_candidates"] >= 1, (method, pipe.status())
         for c in pipe.candidates:
             assert c.idx_curr >= 14 and c.idx_prev <= 6, (method, c)
+
+
+def test_pipeline_with_mesh_matches_single_device(tmp_path, scene):
+    """A mesh-backed pipeline (DB sharded over 8 virtual devices, sharded
+    search) must produce identical candidates to the single-device one."""
+    from cerebro_tpu.parallel import make_mesh
+
+    def run(mesh):
+        cfg = small_config(tmp_path)
+        cfg = dataclasses.replace(
+            cfg, loop=dataclasses.replace(cfg.loop, db_capacity=1024)
+        )
+        pipe = CerebroPipeline(cfg, rig=make_rig(), mesh=mesh)
+        t = 0.0
+        for i in range(14):
+            la, ra = scene[i]
+            pipe.ingest_frame(t, la, n_tracked=100, pose=camera_pose(i), right_img=ra)
+            t += 1.0
+        t = 20.0
+        for i in range(2, 6):
+            la, ra = scene[i]
+            pipe.ingest_frame(t, la, n_tracked=100, pose=camera_pose(14 + (i - 2)), right_img=ra)
+            t += 1.0
+        pipe.flush_descriptors()
+        return sorted((c.idx_curr, c.idx_prev) for c in pipe.candidates)
+
+    single = run(None)
+    sharded = run(make_mesh())
+    assert single == sharded and len(single) >= 1
