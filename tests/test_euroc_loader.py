@@ -1,0 +1,87 @@
+"""EuRoC ASL-folder loader on a synthesized mini-dataset, plus the
+run_sequence eval harness end-to-end over it."""
+
+import os
+
+import numpy as np
+import pytest
+
+from PIL import Image
+
+from cerebro_tpu.io.euroc import EurocSequence
+
+NS = int(1e9)
+
+
+def make_mini_euroc(root, n=6, with_right=True, with_gt=True):
+    rng = np.random.default_rng(0)
+    mav0 = os.path.join(root, "mav0")
+    for cam in ["cam0"] + (["cam1"] if with_right else []):
+        os.makedirs(os.path.join(mav0, cam, "data"), exist_ok=True)
+        with open(os.path.join(mav0, cam, "data.csv"), "w") as f:
+            f.write("#timestamp [ns],filename\n")
+            for i in range(n):
+                # cam1 stamps offset by 0.3 ms (inside the ±1 ms tolerance)
+                ns = (i + 1) * NS + (300_000 if cam == "cam1" else 0)
+                name = f"{ns}.png"
+                f.write(f"{ns},{name}\n")
+                img = rng.integers(0, 255, (48, 64), dtype=np.uint8)
+                Image.fromarray(img).save(os.path.join(mav0, cam, "data", name))
+    if with_gt:
+        gt = os.path.join(mav0, "state_groundtruth_estimate0")
+        os.makedirs(gt, exist_ok=True)
+        with open(os.path.join(gt, "data.csv"), "w") as f:
+            f.write("#timestamp, p_RS_R_x [m], ...\n")
+            for i in range(n):
+                ns = (i + 1) * NS + 5_000_000  # 5 ms offset (inside 20 ms tol)
+                f.write(f"{ns},{0.1*i},{0.2*i},0.0,1.0,0.0,0.0,0.0\n")
+    return mav0
+
+
+def test_loader_parses_and_associates(tmp_path):
+    mav0 = make_mini_euroc(str(tmp_path))
+    seq = EurocSequence(mav0)
+    assert len(seq) == 6
+    frames = list(seq.frames())
+    assert len(frames) == 6
+    f = frames[2]
+    assert abs(f.stamp - 3.0) < 1e-9
+    img = f.left()
+    assert img.shape == (48, 64) and img.dtype == np.uint8
+    assert f.right() is not None  # ±1 ms association found cam1
+    assert f.pose is not None and abs(f.pose[0, 3] - 0.2) < 1e-5
+
+
+def test_loader_without_right_or_gt(tmp_path):
+    mav0 = make_mini_euroc(str(tmp_path), with_right=False, with_gt=False)
+    seq = EurocSequence(mav0)
+    f = next(iter(seq.frames()))
+    assert f.right() is None and f.pose is None
+
+
+def test_loader_stride(tmp_path):
+    mav0 = make_mini_euroc(str(tmp_path))
+    assert len(list(EurocSequence(mav0).frames(stride=2))) == 3
+
+
+def test_run_sequence_over_loader(tmp_path):
+    """eval.run_sequence drives the pipeline from the loader's frames."""
+    import dataclasses
+
+    from cerebro_tpu.eval import run_sequence
+    from cerebro_tpu.runtime import CerebroPipeline
+    from cerebro_tpu.config import CerebroConfig, DescriptorConfig, RuntimeConfig
+
+    mav0 = make_mini_euroc(str(tmp_path), with_right=False, with_gt=True)
+    cfg = CerebroConfig(
+        descriptor=DescriptorConfig(image_hw=(48, 64), trunk_dim=32, num_clusters=4, kind="gist"),
+        runtime=RuntimeConfig(descriptor_batch=4, stash_dir=str(tmp_path / "stash")),
+    )
+    pipe = CerebroPipeline(cfg)
+    report = run_sequence(pipe, EurocSequence(mav0).frames(), verify=False)
+    assert report.n_frames == 6
+    assert report.n_keyframes == 6
+    assert report.keyframes_per_s > 0
+    assert "ingest" in report.timings
+    # ground-truth poses flowed through
+    assert pipe.store.pose_valid[:6].all()
