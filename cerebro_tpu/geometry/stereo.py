@@ -274,3 +274,51 @@ def depth_pipeline_rectified(
         disp, dvalid = block_match(left, right, num_disp=num_disp, block=block)
     pts, ok = disparity_to_points(disp, dvalid, rig)
     return pts, ok, disp
+
+
+def _np_bilinear(img, x, y):
+    import numpy as np
+
+    x = np.clip(x, 0.0, img.shape[1] - 1.0)
+    y = np.clip(y, 0.0, img.shape[0] - 1.0)
+    x0 = np.floor(x).astype(np.int32)
+    y0 = np.floor(y).astype(np.int32)
+    x1 = np.minimum(x0 + 1, img.shape[1] - 1)
+    y1 = np.minimum(y0 + 1, img.shape[0] - 1)
+    wx, wy = x - x0, y - y0
+    return (
+        img[y0, x0] * (1 - wx) * (1 - wy)
+        + img[y0, x1] * wx * (1 - wy)
+        + img[y1, x0] * (1 - wx) * wy
+        + img[y1, x1] * wx * wy
+    )
+
+
+class StereoRectifier:
+    """Precomputed raw->rectified remapping for a stereo rig — the
+    operational front half of the reference's StereoGeometry (stereoRectify
+    + initUndistortRectifyMap + remap, ref CameraGeometry.cpp:271-383).
+
+    Maps are computed once on device (rectify_map through the full camera
+    models) and cached on the host; per-frame remapping runs in numpy so
+    ingest never round-trips the accelerator for preprocessing.
+    """
+
+    def __init__(self, cam0, cam1, c1_T_c0, out_hw):
+        import numpy as np
+
+        self.rig = stereo_rectify(cam0, cam1, jnp.asarray(c1_T_c0))
+        self.out_hw = out_hw
+        self.map0 = np.asarray(rectify_map(cam0, self.rig.R0, self.rig, out_hw))
+        self.map1 = np.asarray(rectify_map(cam1, self.rig.R1, self.rig, out_hw))
+
+    def rectify(self, left_raw, right_raw=None):
+        import numpy as np
+
+        left_raw = np.asarray(left_raw, np.float32)
+        left = _np_bilinear(left_raw, self.map0[..., 0], self.map0[..., 1])
+        if right_raw is None:
+            return left.astype(left_raw.dtype), None
+        right_raw = np.asarray(right_raw, np.float32)
+        right = _np_bilinear(right_raw, self.map1[..., 0], self.map1[..., 1])
+        return left, right

@@ -72,7 +72,8 @@ def main():
         ],
         np.float32,
     )
-    rig = stereo.stereo_rectify(cam0, cam1, jnp.asarray(c1_T_c0))
+    rect = stereo.StereoRectifier(cam0, cam1, c1_T_c0, out_hw=(480, 752))
+    rig = rect.rig
 
     cfg = CerebroConfig(
         descriptor=DescriptorConfig(image_hw=(480, 752), kind=args.descriptor)
@@ -85,8 +86,31 @@ def main():
     else:
         pipe = CerebroPipeline(cfg, rig=rig)
 
+    class RectifiedFrames:
+        """Wrap loader frames: undistort+rectify before the pipeline (the
+        raw EuRoC images are distorted; verification assumes the rig)."""
+
+        def __init__(self, frames):
+            self._frames = frames
+
+        def __iter__(self):
+            for f in self._frames:
+                left, right = rect.rectify(f.left(), f.right())
+
+                class _F:
+                    stamp = f.stamp
+                    pose = f.pose
+
+                    def left(self_inner):
+                        return left
+
+                    def right(self_inner):
+                        return right
+
+                yield _F()
+
     report = run_sequence(
-        pipe, seq.frames(stride=args.stride), max_frames=args.max_frames
+        pipe, RectifiedFrames(seq.frames(stride=args.stride)), max_frames=args.max_frames
     )
 
     os.makedirs(args.out, exist_ok=True)
