@@ -3,3 +3,4 @@ from cerebro_tpu.runtime.pipeline import (  # noqa: F401
     LoopEdge,
     StreamIngestor,
 )
+from cerebro_tpu.runtime.service import CerebroService  # noqa: F401

@@ -1,0 +1,117 @@
+"""Live service: continuous background processing around the pipeline.
+
+The operational equivalent of running the reference's ``cerebro_node``
+process (main() spawns threads and ros::spin()s, ref
+src/cerebro_node.cpp:430-530): producers push camera/VIO feeds from any
+thread; one background worker drains the native association engine, runs
+batched description + detection, geometrically verifies candidates, and
+periodically re-optimizes the trajectory. All engine state stays
+single-writer (the worker); producers only touch the lock-striped native
+queues and the pixel dict.
+
+Shutdown mirrors the reference's teardown (disable flags -> join -> save
+state, ref :533-568): ``stop()`` drains remaining work, and an optional
+``save_dir`` checkpoints the map for teach-and-repeat.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+from cerebro_tpu.runtime.pipeline import CerebroPipeline, StreamIngestor
+
+
+class CerebroService:
+    def __init__(
+        self,
+        pipeline: CerebroPipeline,
+        verify_every_s: float = 1.0,  # ref consumer thread at 1 Hz
+        optimize_every_s: float = 10.0,
+        hold_s: float = 0.2,
+        idle_sleep_s: float = 0.01,
+    ):
+        self.pipeline = pipeline
+        self.ingest = StreamIngestor(pipeline, hold_s=hold_s)
+        self.verify_every_s = verify_every_s
+        self.optimize_every_s = optimize_every_s
+        self.idle_sleep_s = idle_sleep_s
+        self._worker: Optional[threading.Thread] = None
+        self._running = threading.Event()
+        self.latest_trajectory = None
+        self._error: Optional[BaseException] = None
+
+    # -- producer API (any thread): delegate to the ingestor --------------
+
+    def push_image(self, stamp_ns, img, is_right=False):
+        self.ingest.push_image(stamp_ns, img, is_right)
+
+    def push_pose(self, stamp_ns, w_T_c):
+        self.ingest.push_pose(stamp_ns, w_T_c)
+
+    def push_tracking(self, stamp_ns, n_tracked, is_keyframe=True):
+        self.ingest.push_tracking(stamp_ns, n_tracked, is_keyframe)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self):
+        assert self._worker is None, "already started"
+        self._running.set()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def stop(self, save_dir: Optional[str] = None, timeout: float = 60.0):
+        """Drain, stop the worker, optionally checkpoint (ref teardown +
+        saveStateToDisk, src/cerebro_node.cpp:533-568)."""
+        self._running.clear()
+        if self._worker is not None:
+            self._worker.join(timeout=timeout)
+            self._worker = None
+        if self._error is not None:
+            raise self._error
+        # final drain on the caller's thread
+        self.ingest.pump()
+        self.pipeline.flush_descriptors()
+        if self.pipeline.rig is not None:
+            self.pipeline.verify_pending()
+        self.latest_trajectory = self.pipeline.optimize_trajectory()
+        if save_dir is not None:
+            from cerebro_tpu.io import save_pipeline_state
+
+            save_pipeline_state(self.pipeline, save_dir)
+
+    def status(self) -> dict:
+        s = self.pipeline.status()
+        s["service_running"] = self._running.is_set()
+        s["ingest_pending"] = int(self.ingest.engine.pending)
+        return s
+
+    # -- worker ------------------------------------------------------------
+
+    def _run(self):
+        last_verify = 0.0
+        last_opt = 0.0
+        try:
+            while self._running.is_set():
+                fed = self.ingest.pump()
+                self.pipeline.flush_descriptors()
+                now = time.monotonic()
+                if (
+                    self.pipeline.rig is not None
+                    and self.pipeline.candidates
+                    and now - last_verify >= self.verify_every_s
+                ):
+                    self.pipeline.verify_pending()
+                    last_verify = now
+                if (
+                    self.pipeline.loop_edges
+                    and now - last_opt >= self.optimize_every_s
+                ):
+                    self.latest_trajectory = self.pipeline.optimize_trajectory()
+                    last_opt = now
+                if fed == 0:
+                    time.sleep(self.idle_sleep_s)
+        except BaseException as e:  # surfaced on stop()
+            self._error = e
+            self._running.clear()

@@ -168,3 +168,59 @@ def test_stream_ingestor_feeds_pipeline(tmp_path):
     assert st["frames"] == 20
     assert st["described"] == 20
     assert pipe.store.pose_valid[:20].all()
+
+
+def test_service_live_loop(tmp_path):
+    """CerebroService: concurrent producers while the worker processes -
+    the full cerebro_node-process equivalent running live."""
+    import sys, time
+    sys.path.insert(0, "tests")
+    from test_pipeline import small_config, stereo_images, camera_pose
+    from test_verify import big_texture, make_rig
+    from cerebro_tpu.runtime import CerebroPipeline, CerebroService
+
+    cfg = small_config(tmp_path)
+    pipe = CerebroPipeline(cfg, rig=make_rig())
+    svc = CerebroService(pipe, verify_every_s=0.1, optimize_every_s=0.5, hold_s=0.05)
+
+    tex = big_texture(np.random.default_rng(11), n=4096)
+    frames = [stereo_images(tex, camera_pose(i)) for i in range(14)]
+
+    svc.start()
+
+    def producer():
+        t = 1.0
+        for i in range(14):
+            la, ra = frames[i]
+            ns = int(t * 1e9)
+            svc.push_image(ns, la)
+            svc.push_image(ns, ra, is_right=True)
+            svc.push_pose(ns + 100_000, camera_pose(i).astype(np.float64))
+            svc.push_tracking(ns - 100_000, 100)
+            t += 1.0
+            time.sleep(0.01)
+        t = 30.0
+        for i in range(2, 6):
+            la, ra = frames[i]
+            ns = int(t * 1e9)
+            svc.push_image(ns, la)
+            svc.push_image(ns, ra, is_right=True)
+            svc.push_pose(ns + 100_000, camera_pose(14 + i - 2).astype(np.float64))
+            svc.push_tracking(ns - 100_000, 100)
+            t += 1.0
+            time.sleep(0.01)
+        # horizon advance so the hold window releases the last frames
+        svc.push_image(int(60 * 1e9), np.zeros_like(frames[0][0]))
+
+    th = threading.Thread(target=producer)
+    th.start()
+    th.join()
+    time.sleep(1.0)  # let the worker catch up
+    svc.stop(save_dir=str(tmp_path / "svc_state"))
+
+    st = svc.status()
+    assert st["frames"] >= 18
+    assert st["loop_edges"] >= 1, st
+    assert svc.latest_trajectory is not None
+    import os
+    assert os.path.exists(tmp_path / "svc_state" / "manifest.json")
