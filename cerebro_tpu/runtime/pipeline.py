@@ -154,6 +154,10 @@ class CerebroPipeline:
         from cerebro_tpu.utils import StageTimer
 
         self.timer = StageTimer()
+        # per-query max-score history + detection marks (the live Plot2Mat
+        # score curve, ref src/Cerebro.cpp:950-955,1085-1088)
+        self.score_history: List[float] = []
+        self.detection_marks: List[int] = []
 
     # ------------------------------------------------------------------
     # Ingest
@@ -276,6 +280,13 @@ class CerebroPipeline:
                     cfg, self.db, self.det_state, descs, gidx, qvalid
                 )
             valid = np.asarray(cands.valid)
+            scores = np.asarray(cands.score)
+            for k in range(n_valid):
+                if valid[k]:
+                    self.detection_marks.append(len(self.score_history))
+                self.score_history.append(
+                    float(np.clip(scores[k], -1.0, 1.0))
+                )
             return [
                 (int(cands.curr_idx[k]), int(cands.prev_idx[k]), float(cands.score[k]))
                 for k in range(n_valid)
@@ -542,6 +553,17 @@ class CerebroPipeline:
             for c in self.candidates
         ]
 
+    def render_scores(self):
+        """(H, W, 3) image of the running max-score curve with detection
+        marks and the acceptance threshold (Plot2Mat parity)."""
+        from cerebro_tpu.utils.plot import plot_scores
+
+        return plot_scores(
+            np.asarray(self.score_history, np.float32),
+            marks=self.detection_marks,
+            threshold=self.cfg.loop.dot_threshold,
+        )
+
     def dump_debug(self, directory: str) -> None:
         """End-of-run debug dump (parity: the reference's __LOGGING__ block,
         src/cerebro_node.cpp:613-839 — JSON state + per-candidate annotated
@@ -559,6 +581,8 @@ class CerebroPipeline:
         with open(os.path.join(directory, "loop_edges.json"), "w") as f:
             json.dump([e.as_json() for e in self.loop_edges], f, indent=2)
 
+        if self.score_history:
+            np.save(os.path.join(directory, "score_curve.npy"), self.render_scores())
         traj = self.optimize_trajectory()
         if traj is not None:
             img = trajectory_topdown(

@@ -304,3 +304,26 @@ def test_pipeline_with_mesh_matches_single_device(tmp_path, scene):
     single = run(None)
     sharded = run(make_mesh())
     assert single == sharded and len(single) >= 1
+
+
+def test_score_history_and_render(tmp_path, scene):
+    cfg = small_config(tmp_path)
+    pipe = CerebroPipeline(cfg, rig=make_rig())
+    t = 0.0
+    for i in range(14):
+        la, ra = scene[i]
+        pipe.ingest_frame(t, la, n_tracked=100, pose=camera_pose(i), right_img=ra)
+        t += 1.0
+    t = 20.0
+    for i in range(2, 6):
+        la, ra = scene[i]
+        pipe.ingest_frame(t, la, n_tracked=100, pose=camera_pose(14 + (i - 2)), right_img=ra)
+        t += 1.0
+    pipe.flush_descriptors()
+    assert len(pipe.score_history) == 18
+    assert len(pipe.detection_marks) >= 1
+    # marks point at high-score entries
+    for m in pipe.detection_marks:
+        assert pipe.score_history[m] > cfg.loop.dot_threshold
+    img = pipe.render_scores()
+    assert img.shape[2] == 3 and img.std() > 0
