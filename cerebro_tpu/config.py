@@ -74,6 +74,10 @@ class LoopConfig:
     # Descriptor DB capacity (ref statically allocates 29000 columns,
     # src/Cerebro.cpp:946). Must be a multiple of the shard tile (128).
     db_capacity: int = 29184  # 57 * 512 — ref 29000 rounded up to the search tile
+    # Store the DB int8-quantized: half the HBM per row (2x capacity per
+    # byte), int8 MXU scoring; <2e-2 dot-product deviation on unit
+    # descriptors. Method A only; not combined with a mesh yet.
+    quantized: bool = False
     # Top-k returned by the sharded retrieval kernel (ref faiss k-NN=5,
     # src/Cerebro.cpp:460).
     top_k: int = 5

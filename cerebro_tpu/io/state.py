@@ -36,12 +36,17 @@ def save_pipeline_state(pipe: CerebroPipeline, directory: str) -> None:
     os.makedirs(directory, exist_ok=True)
 
     # device state: descriptor DB via orbax (sharding-aware)
+    quantized = isinstance(pipe.db, ddb.QuantizedDB)
+    if quantized:
+        db_tree = {
+            "values": pipe.db.values,
+            "scales": pipe.db.scales,
+            "count": pipe.db.count,
+        }
+    else:
+        db_tree = {"vectors": pipe.db.vectors, "count": pipe.db.count}
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(
-        os.path.join(directory, "descriptor_db"),
-        {"vectors": pipe.db.vectors, "count": pipe.db.count},
-        force=True,
-    )
+    ckpt.save(os.path.join(directory, "descriptor_db"), db_tree, force=True)
     ckpt.wait_until_finished()
 
     # host state: keyframe columns + mappings
@@ -55,6 +60,7 @@ def save_pipeline_state(pipe: CerebroPipeline, directory: str) -> None:
         "loop_edges": [e.as_json() for e in pipe.loop_edges],
         "descriptor_dim": int(pipe.db.dim),
         "db_capacity": int(pipe.db.capacity),
+        "db_quantized": quantized,
     }
     with open(os.path.join(directory, "manifest.json"), "w") as f:
         json.dump(manifest, f)
@@ -87,16 +93,32 @@ def load_pipeline_state(
     )
 
     ckpt = ocp.StandardCheckpointer()
-    restored = ckpt.restore(
-        os.path.join(directory, "descriptor_db"),
-        {
-            "vectors": jnp.zeros_like(pipe.db.vectors),
-            "count": jnp.zeros_like(pipe.db.count),
-        },
-    )
-    pipe.db = ddb.DescriptorDB(
-        vectors=restored["vectors"], count=restored["count"]
-    )
+    if manifest.get("db_quantized", False):
+        assert isinstance(pipe.db, ddb.QuantizedDB), (
+            "checkpoint is quantized; set LoopConfig.quantized=True"
+        )
+        restored = ckpt.restore(
+            os.path.join(directory, "descriptor_db"),
+            {
+                "values": jnp.zeros_like(pipe.db.values),
+                "scales": jnp.zeros_like(pipe.db.scales),
+                "count": jnp.zeros_like(pipe.db.count),
+            },
+        )
+        pipe.db = ddb.QuantizedDB(
+            values=restored["values"], scales=restored["scales"], count=restored["count"]
+        )
+    else:
+        restored = ckpt.restore(
+            os.path.join(directory, "descriptor_db"),
+            {
+                "vectors": jnp.zeros_like(pipe.db.vectors),
+                "count": jnp.zeros_like(pipe.db.count),
+            },
+        )
+        pipe.db = ddb.DescriptorDB(
+            vectors=restored["vectors"], count=restored["count"]
+        )
 
     with np.load(os.path.join(directory, "keyframes.npz")) as z:
         pipe.store = KeyframeStore.from_state_dict({k: z[k] for k in z.files})

@@ -148,3 +148,23 @@ def detect_batch(
     )  # (B,), (B,)
     searchable = (limits > 0) & query_valid
     return temporal_consistency(cfg, state, mx, ar, global_idx, searchable, query_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_batch_quantized(
+    cfg: LoopConfig,
+    db,  # QuantizedDB
+    state: DetectorState,
+    queries: jax.Array,  # (B, D)
+    global_idx: jax.Array,  # (B,) int32
+    query_valid: jax.Array,  # (B,) bool
+) -> Tuple[LoopCandidates, DetectorState]:
+    """detect_batch over an int8-quantized DB (db/descriptors.QuantizedDB):
+    identical temporal-consistency semantics, int8 MXU scoring."""
+    from cerebro_tpu.db.descriptors import query_limits
+    from cerebro_tpu.ops.similarity import max_and_argmax_int8
+
+    limits = query_limits(db, global_idx, cfg.exclusion_window)
+    mx, ar = max_and_argmax_int8(queries, db.values, db.scales, limits)
+    searchable = (limits > 0) & query_valid
+    return temporal_consistency(cfg, state, mx, ar, global_idx, searchable, query_valid)

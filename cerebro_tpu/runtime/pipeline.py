@@ -127,7 +127,12 @@ class CerebroPipeline:
                 self.params = params
             self.describe_fn = lambda imgs: describe_batch(self.net, self.params, imgs)
             dim = self.net.descriptor_dim
-        self.db = ddb.create(self.cfg.loop.db_capacity, dim)
+        if self.cfg.loop.quantized:
+            assert mesh is None, "quantized DB + mesh not supported yet"
+            assert self.cfg.loop.method == "A", "quantized DB supports method A"
+            self.db = ddb.create_quantized(self.cfg.loop.db_capacity, dim)
+        else:
+            self.db = ddb.create(self.cfg.loop.db_capacity, dim)
         if mesh is not None:
             from cerebro_tpu.parallel import shard_db
 
@@ -241,7 +246,10 @@ class CerebroPipeline:
         gidx = jnp.arange(row0, row0 + B, dtype=jnp.int32)
         qvalid = jnp.asarray(np.arange(B) < n_valid)
 
-        self.db = ddb.append(self.db, descs, jnp.asarray(n_valid))
+        if self.cfg.loop.quantized:
+            self.db = ddb.append_quantized(self.db, descs, jnp.asarray(n_valid))
+        else:
+            self.db = ddb.append(self.db, descs, jnp.asarray(n_valid))
         pairs = self._run_method(descs, gidx, qvalid, n_valid)
         self.db_row_to_store.extend(store_idx[:n_valid])
         self.store.mark_described(np.asarray(store_idx[:n_valid]))
@@ -268,7 +276,11 @@ class CerebroPipeline:
         method = cfg.method
 
         if method == "A":
-            if self.mesh is not None:
+            if self.cfg.loop.quantized:
+                cands, self.det_state = detector.detect_batch_quantized(
+                    cfg, self.db, self.det_state, descs, gidx, qvalid
+                )
+            elif self.mesh is not None:
                 from cerebro_tpu.parallel import detect_batch_sharded
 
                 cands, self.det_state = detect_batch_sharded(

@@ -78,3 +78,30 @@ def test_checkpoint_preserves_loop_edges_and_worlds(tmp_path, scene):
     np.testing.assert_array_equal(
         again.store.stamps[: again.store.size], pipe.store.stamps[: pipe.store.size]
     )
+
+
+def test_quantized_teach_and_repeat(tmp_path, scene):
+    """Teach with an int8-quantized map; reload and relocalize."""
+    import dataclasses
+
+    base = small_config(tmp_path)
+    cfg = dataclasses.replace(base, loop=dataclasses.replace(base.loop, quantized=True))
+    teach = CerebroPipeline(cfg, rig=make_rig())
+    t = 0.0
+    for i in range(10):
+        la, ra = scene[i]
+        teach.ingest_frame(t, la, n_tracked=100, pose=camera_pose(i), right_img=ra)
+        t += 1.0
+    teach.flush_descriptors()
+    ck = str(tmp_path / "qstate")
+    save_pipeline_state(teach, ck)
+
+    repeat = load_pipeline_state(ck, cfg=cfg, rig=make_rig(), stash_dir=str(tmp_path / "qs2"))
+    assert int(repeat.db.count) == 10
+    t = 100.0
+    for i in range(3, 6):
+        la, ra = scene[i]
+        repeat.ingest_frame(t, la, n_tracked=100, pose=None, right_img=ra)
+        t += 1.0
+    repeat.flush_descriptors()
+    assert any(c.idx_prev < 10 <= c.idx_curr for c in repeat.candidates)

@@ -327,3 +327,28 @@ def test_score_history_and_render(tmp_path, scene):
         assert pipe.score_history[m] > cfg.loop.dot_threshold
     img = pipe.render_scores()
     assert img.shape[2] == 3 and img.std() > 0
+
+
+def test_pipeline_quantized_db_matches_f32(tmp_path, scene):
+    """Int8-quantized DB mode finds the same candidates as float mode."""
+
+    def run(quantized):
+        cfg = small_config(tmp_path)
+        cfg = dataclasses.replace(
+            cfg, loop=dataclasses.replace(cfg.loop, quantized=quantized)
+        )
+        pipe = CerebroPipeline(cfg, rig=make_rig())
+        t = 0.0
+        for i in range(14):
+            la, ra = scene[i]
+            pipe.ingest_frame(t, la, n_tracked=100, pose=camera_pose(i), right_img=ra)
+            t += 1.0
+        t = 20.0
+        for i in range(2, 6):
+            la, ra = scene[i]
+            pipe.ingest_frame(t, la, n_tracked=100, pose=camera_pose(14 + (i - 2)), right_img=ra)
+            t += 1.0
+        pipe.flush_descriptors()
+        return sorted((c.idx_curr, c.idx_prev) for c in pipe.candidates)
+
+    assert run(True) == run(False) != []
