@@ -142,16 +142,66 @@ def _extract_patches(img: jax.Array, xy: jax.Array, patch: int) -> jax.Array:
     return img[rows, cols].reshape(xy.shape[0], patch * patch)
 
 
-@functools.partial(jax.jit, static_argnames=("patch", "dim"))
+def keypoint_orientations(img: jax.Array, xy: jax.Array, radius: int = 7) -> jax.Array:
+    """(K,) dominant orientation per keypoint via the intensity-centroid
+    method (ORB's orientation assignment): theta = atan2(m01, m10) of the
+    patch moments around the keypoint."""
+    p = 2 * radius + 1
+    patches = _extract_patches(img, xy, p).reshape(-1, p, p)
+    offs = jnp.arange(p, dtype=jnp.float32) - radius
+    m10 = jnp.einsum("kij,j->k", patches, offs)  # x moment
+    m01 = jnp.einsum("kij,i->k", patches, offs)  # y moment
+    return jnp.arctan2(m01, m10)
+
+
+def _extract_oriented_patches(
+    img: jax.Array, xy: jax.Array, theta: jax.Array, patch: int
+) -> jax.Array:
+    """(K, patch*patch) bilinear patches sampled on a grid rotated by
+    -theta about each keypoint — rotation-normalized like ORB's steered
+    BRIEF."""
+    H, W = img.shape
+    half = (patch - 1) / 2.0
+    o = jnp.arange(patch, dtype=jnp.float32) - half
+    gy, gx = jnp.meshgrid(o, o, indexing="ij")  # (p, p)
+    c, s = jnp.cos(theta), jnp.sin(theta)  # (K,)
+    # rotate sampling grid by +theta (so descriptor is in the keypoint frame)
+    rx = c[:, None, None] * gx[None] - s[:, None, None] * gy[None]
+    ry = s[:, None, None] * gx[None] + c[:, None, None] * gy[None]
+    sx = jnp.clip(xy[:, 0, None, None] + rx, 0.0, W - 1.001)
+    sy = jnp.clip(xy[:, 1, None, None] + ry, 0.0, H - 1.001)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    wx = sx - x0
+    wy = sy - y0
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    vals = (
+        img[y0, x0] * (1 - wx) * (1 - wy)
+        + img[y0, x1] * wx * (1 - wy)
+        + img[y1, x0] * (1 - wx) * wy
+        + img[y1, x1] * wx * wy
+    )
+    return vals.reshape(xy.shape[0], patch * patch)
+
+
+@functools.partial(jax.jit, static_argnames=("patch", "dim", "oriented"))
 def patch_descriptors(
     img: jax.Array,  # (H, W) float32
     kps: Keypoints,
     patch: int = 16,
     dim: int = 128,
+    oriented: bool = False,
 ) -> jax.Array:
     """(K, dim) unit descriptors: mean/std-normalized patches projected by a
-    fixed random matrix (rBRIEF's role, MXU-shaped)."""
-    p = _extract_patches(img, kps.xy, patch)  # (K, p*p)
+    fixed random matrix (rBRIEF's role, MXU-shaped). With ``oriented`` the
+    patch grid is rotated into the keypoint's dominant-gradient frame
+    (ORB's steered-BRIEF rotation invariance)."""
+    if oriented:
+        theta = keypoint_orientations(img, kps.xy)
+        p = _extract_oriented_patches(img, kps.xy, theta, patch)
+    else:
+        p = _extract_patches(img, kps.xy, patch)  # (K, p*p)
     p = p - jnp.mean(p, axis=-1, keepdims=True)
     p = p / (jnp.linalg.norm(p, axis=-1, keepdims=True) + 1e-6)
     proj = jax.random.normal(jax.random.PRNGKey(42), (patch * patch, dim)) / jnp.sqrt(
@@ -276,13 +326,16 @@ def gms_filter(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("max_kp", "gms_factor", "blur"))
+@functools.partial(
+    jax.jit, static_argnames=("max_kp", "gms_factor", "blur", "oriented")
+)
 def match_image_pair(
     img_a: jax.Array,  # (H, W) float32
     img_b: jax.Array,  # (H, W) float32
     max_kp: int = 1024,
     gms_factor: float = 6.0,
     blur: int = 5,
+    oriented: bool = False,
 ) -> Matches:
     """corners -> descriptors -> mutual NN -> GMS. One jit program.
 
@@ -297,7 +350,7 @@ def match_image_pair(
     kb = harris_corners(img_b, max_kp=max_kp)
     sa = _box_filter(img_a, blur) / float(blur * blur)
     sb = _box_filter(img_b, blur) / float(blur * blur)
-    da = patch_descriptors(sa, ka)
-    db = patch_descriptors(sb, kb)
+    da = patch_descriptors(sa, ka, oriented=oriented)
+    db = patch_descriptors(sb, kb, oriented=oriented)
     m = mutual_nn_match(da, db, ka, kb)
     return gms_filter(m, img_a.shape, factor=gms_factor)

@@ -66,3 +66,50 @@ def test_unrelated_images_yield_few_matches(rng):
     m = features.match_image_pair(jnp.asarray(a), jnp.asarray(b), max_kp=512)
     # far below the >=150 attempt gate of the verification stage
     assert int(m.count()) < 150
+
+
+def test_oriented_matching_survives_rotation(rng):
+    """45-degree in-plane rotation: plain patches produce zero correct
+    matches; oriented (ORB-steered) patches keep a large correct set (the
+    reference's ORB rotation invariance). Correctness measured against the
+    known rotation, pre-GMS (GMS needs density, not orientation)."""
+    from scipy import ndimage  # rotation reference
+
+    deg = 45.0
+    img = textured_image(rng, 280, 280)
+    rot = ndimage.rotate(img, deg, reshape=False, order=1, mode="nearest").astype(
+        np.float32
+    )
+    a = jnp.asarray(img[40:240, 40:240])
+    b = jnp.asarray(rot[40:240, 40:240])
+    ka = features.harris_corners(a, max_kp=512)
+    kb = features.harris_corners(b, max_kp=512)
+    sa = features._box_filter(a, 5) / 25.0
+    sb = features._box_filter(b, 5) / 25.0
+
+    def correct_matches(oriented):
+        da = features.patch_descriptors(sa, ka, oriented=oriented)
+        db = features.patch_descriptors(sb, kb, oriented=oriented)
+        m = features.mutual_nn_match(da, db, ka, kb)
+        v = np.asarray(m.valid)
+        if v.sum() == 0:
+            return 0
+        pa = np.asarray(m.xy_a)[v] + 40.0
+        pb = np.asarray(m.xy_b)[v] + 40.0
+        th = np.deg2rad(-deg)
+        c = np.array([139.5, 139.5])
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        err = np.linalg.norm((pa - c) @ R.T + c - pb, axis=1)
+        return int((err < 3).sum())
+
+    good_plain = correct_matches(False)
+    good_orient = correct_matches(True)
+    assert good_plain < 10, good_plain  # plain genuinely collapses
+    assert good_orient > 40, good_orient  # steered patches survive
+
+
+def test_oriented_matching_identity_unchanged(rng):
+    """On identical images oriented mode still matches plentifully."""
+    img = jnp.asarray(textured_image(rng))
+    m = features.match_image_pair(img, img, max_kp=512, oriented=True)
+    assert int(m.count()) > 150
