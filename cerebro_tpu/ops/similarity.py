@@ -205,3 +205,116 @@ def max_and_argmax_int8(
     col = jnp.arange(n, dtype=jnp.int32)[None, :]
     s = jnp.where(col < limits[:, None], s, NEG_INF)
     return jnp.max(s, axis=1), jnp.argmax(s, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Top-k without materializing (Q, N): k passes of the fused argmax kernel,
+# each banning the indices found so far. k is small (5 in the reference's
+# faiss usage), so k streaming passes beat one pass that writes the full
+# score matrix to HBM for large N.
+# ---------------------------------------------------------------------------
+
+
+def _score_argmax_banned_kernel(
+    q_ref, db_ref, lim_ref, ban_ref, max_ref, arg_ref, scratch_max, scratch_arg
+):
+    """The streaming argmax kernel with a per-query banned-index list
+    (ban_ref (Q, KB) int32; -1 slots inert)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        scratch_max[:] = jnp.full_like(scratch_max, NEG_INF)
+        scratch_arg[:] = jnp.zeros_like(scratch_arg)
+
+    s = jax.lax.dot_general(
+        q_ref[:],
+        db_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, TILE_N)
+    q_n = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_n, TILE_N), 1) + t * TILE_N
+    s = jnp.where(col < lim_ref[:], s, NEG_INF)
+    banned = jnp.any(col[:, :, None] == ban_ref[:][:, None, :], axis=-1)
+    s = jnp.where(banned, NEG_INF, s)
+
+    tile_max = jnp.max(s, axis=1, keepdims=True)
+    tile_arg = jnp.argmax(s, axis=1)[:, None] + t * TILE_N
+    better = tile_max > scratch_max[:]
+    scratch_arg[:] = jnp.where(better, tile_arg, scratch_arg[:])
+    scratch_max[:] = jnp.where(better, tile_max, scratch_max[:])
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _emit():
+        max_ref[:] = scratch_max[:]
+        arg_ref[:] = scratch_arg[:]
+
+
+def _max_and_argmax_banned(queries, db, limits, banned, use_pallas: bool):
+    """(max, argmax) with banned indices. banned: (Q, KB) int32, -1 inert."""
+    Q, D = queries.shape
+    N = db.shape[0]
+    if not use_pallas or _interpret():
+        s = scores_xla(queries, db, limits)
+        col = jnp.arange(N, dtype=jnp.int32)[None, :]
+        ban_mask = jnp.any(col[:, :, None] == banned[:, None, :], axis=-1)
+        s = jnp.where(ban_mask, NEG_INF, s)
+        return jnp.max(s, axis=1), jnp.argmax(s, axis=1)
+
+    assert N % TILE_N == 0
+    grid = (N // TILE_N,)
+    mx, ar = pl.pallas_call(
+        _score_argmax_banned_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Q, D), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, D), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (Q, banned.shape[1]), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((Q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Q, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Q, 1), jnp.float32),
+            pltpu.VMEM((Q, 1), jnp.int32),
+        ],
+    )(
+        queries.astype(jnp.bfloat16),
+        db.astype(jnp.bfloat16),
+        limits.astype(jnp.int32).reshape(Q, 1),
+        banned.astype(jnp.int32),
+    )
+    return mx[:, 0], ar[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+def search_topk_streaming(
+    queries: jax.Array,  # (Q, D)
+    db: jax.Array,  # (N, D)
+    limits: jax.Array,  # (Q,) int32
+    k: int = 5,
+    use_pallas: bool = True,
+):
+    """Exact top-k via k banned-argmax streaming passes — the (Q, N) score
+    matrix never exists. Returns (values (Q, k), indices (Q, k)); slots past
+    a query's match count carry NEG_INF/−1-like fillers consistent with
+    ``search_topk``'s ordering."""
+    Q = queries.shape[0]
+    kb = max(k, 1)
+    banned = jnp.full((Q, kb), -1, jnp.int32)
+    vals, idxs = [], []
+    for j in range(k):
+        mx, ar = _max_and_argmax_banned(queries, db, limits, banned, use_pallas)
+        vals.append(mx)
+        idxs.append(ar)
+        banned = banned.at[:, j].set(jnp.where(mx > NEG_INF / 2, ar, -1))
+    return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)

@@ -108,3 +108,23 @@ def test_int8_search_matches_f32(rng):
     mx, ar = max_and_argmax_int8(jnp.asarray(q), dbq, dbs, limits)
     np.testing.assert_array_equal(np.asarray(ar), np.asarray(ar_ref))
     np.testing.assert_allclose(np.asarray(mx), np.asarray(mx_ref), atol=2e-2)
+
+
+def test_streaming_topk_matches_dense(rng):
+    from cerebro_tpu.ops.similarity import search_topk_streaming
+
+    vecs = rng.normal(size=(2048, D)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+    q = rng.normal(size=(8, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    limits = jnp.asarray([0, 100, 512, 1024, 2048, 2048, 1500, 3], jnp.int32)
+    v_ref, i_ref = similarity.search_topk(jnp.asarray(q), jnp.asarray(vecs), limits, k=5)
+    v, i = search_topk_streaming(jnp.asarray(q), jnp.asarray(vecs), limits, k=5)
+    # where the window has >= 5 rows the results must agree exactly
+    for qi in range(8):
+        n_win = int(limits[qi])
+        kk = min(5, n_win)
+        np.testing.assert_array_equal(np.asarray(i[qi, :kk]), np.asarray(i_ref[qi, :kk]))
+        np.testing.assert_allclose(
+            np.asarray(v[qi, :kk]), np.asarray(v_ref[qi, :kk]), rtol=1e-5
+        )
