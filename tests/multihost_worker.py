@@ -1,0 +1,142 @@
+"""Worker process for the multi-host distributed test.
+
+Launched N times by test_multihost.py with a shared coordinator address.
+Each process owns a slice of virtual CPU devices; together they form one
+global mesh, exactly like hosts in a TPU pod slice (SURVEY.md §5.8). The
+worker builds the globally-sharded descriptor DB with
+``jax.make_array_from_callback`` (each process materializes only its
+addressable shards), runs the distributed search kernels, and verifies
+them against a host-side numpy reference that every process can compute
+independently.
+
+Exit code 0 = every check passed on this process.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--devices-per-process", type=int, default=4)
+    args = ap.parse_args()
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.devices_per_process}"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from cerebro_tpu.parallel.multihost import global_mesh, host_info, init_multihost
+
+    init_multihost(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+
+    info = host_info()
+    assert info["process_count"] == args.num_processes, info
+    assert info["global_devices"] == args.num_processes * args.devices_per_process, info
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cerebro_tpu.parallel.sharded_search import sharded_max_and_argmax, sharded_topk
+
+    mesh = global_mesh()
+    n_dev = info["global_devices"]
+
+    # Deterministic global DB — every process derives the same host copy,
+    # but only its addressable shards are materialized on device.
+    dim, rows_per_dev, q_n, k = 128, 64, 8, 5
+    n_rows = n_dev * rows_per_dev
+    rng = np.random.default_rng(7)
+    host_db = rng.standard_normal((n_rows, dim)).astype(np.float32)
+    host_db /= np.linalg.norm(host_db, axis=-1, keepdims=True)
+
+    db_sharding = NamedSharding(mesh, P("db", None))
+    db_vectors = jax.make_array_from_callback(
+        host_db.shape, db_sharding, lambda idx: host_db[idx]
+    )
+
+    host_q = rng.standard_normal((q_n, dim)).astype(np.float32)
+    host_q /= np.linalg.norm(host_q, axis=-1, keepdims=True)
+    # Staggered limits exercise shards with empty windows on some hosts.
+    host_lim = np.linspace(1, n_rows, q_n).astype(np.int32)
+
+    rep = NamedSharding(mesh, P())
+    queries = jax.device_put(jnp.asarray(host_q), rep)
+    limits = jax.device_put(jnp.asarray(host_lim), rep)
+
+    mx, ar = sharded_max_and_argmax(
+        queries, db_vectors, limits, mesh, use_pallas=False
+    )
+    mx, ar = np.asarray(mx), np.asarray(ar)
+
+    # The device kernel runs the matmul in bf16 (MXU form); allow bf16-level
+    # score error and judge indices by their true (f32) score, not identity.
+    TOL = 5e-3
+    scores = host_q @ host_db.T  # (Q, N)
+    for qi in range(q_n):
+        scores[qi, host_lim[qi] :] = -np.inf
+    ref_mx = scores.max(axis=1)
+    assert np.allclose(mx, ref_mx, atol=TOL), (mx, ref_mx)
+    for qi in range(q_n):
+        assert ar[qi] < host_lim[qi], (qi, ar[qi])
+        assert scores[qi, ar[qi]] >= ref_mx[qi] - TOL, qi
+
+    tv, ti = sharded_topk(queries, db_vectors, limits, mesh, k=k)
+    tv, ti = np.asarray(tv), np.asarray(ti)
+    ref_tv = -np.sort(-scores, axis=1)[:, :k]
+    for qi in range(q_n):
+        v = int(min(k, host_lim[qi]))  # entries past the limit are -inf filler
+        assert np.allclose(tv[qi, :v], ref_tv[qi, :v], atol=TOL), qi
+        # every returned row must genuinely score at least the v-th best
+        assert (scores[qi, ti[qi, :v]] >= ref_tv[qi, v - 1] - TOL).all(), qi
+
+    # Distributed pose-graph GN across processes: edge axis sharded globally.
+    from cerebro_tpu.config import PoseGraphConfig
+    from cerebro_tpu.posegraph import PoseGraph, optimize_sharded, pad_graph
+
+    n_nodes = 12
+    x0 = rng.standard_normal((n_nodes, 4)).astype(np.float32) * 0.1
+    graph = pad_graph(
+        PoseGraph(
+            xyzyaw=jnp.asarray(x0),
+            node_valid=jnp.ones(n_nodes, dtype=bool),
+            odo_i=jnp.arange(n_nodes - 1, dtype=jnp.int32),
+            odo_j=jnp.arange(1, n_nodes, dtype=jnp.int32),
+            odo_meas=jnp.asarray(
+                rng.standard_normal((n_nodes - 1, 4)).astype(np.float32) * 0.05
+            ),
+            odo_valid=jnp.ones(n_nodes - 1, dtype=bool),
+            loop_i=jnp.asarray([n_nodes - 1], jnp.int32),
+            loop_j=jnp.asarray([0], jnp.int32),
+            loop_meas=jnp.zeros((1, 4)),
+            loop_valid=jnp.ones(1, dtype=bool),
+        ),
+        n_dev,
+    )
+    x_opt, _, cost = optimize_sharded(
+        graph, PoseGraphConfig(max_gn_iters=3, cg_iters=20), mesh
+    )
+    cost = float(np.asarray(cost))
+    assert np.isfinite(cost), cost
+    assert np.isfinite(np.asarray(x_opt)).all()
+
+    print(f"process {args.process_id}: all multihost checks passed", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
