@@ -196,7 +196,7 @@ def _sincos_coeffs(theta2: jax.Array):
     computed from theta^2. Both branches of each `where` are finite AND have
     finite derivatives at theta2=0 (the naive norm-based formulation leaks
     NaN through jacfwd — found by the RANSAC GN refiner)."""
-    small = theta2 < 1e-10
+    small = theta2 < 1e-6
     t2_safe = jnp.where(small, 1.0, theta2)
     t_safe = jnp.sqrt(t2_safe)
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(t_safe) / t_safe)
@@ -218,25 +218,20 @@ def so3_exp(w: jax.Array) -> jax.Array:
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """Rotation matrix -> axis-angle vector (...,3)."""
-    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_theta = jnp.clip((tr - 1.0) / 2.0, -1.0 + 1e-7, 1.0 - 1e-7)
-    theta = jnp.arccos(cos_theta)
-    vee = jnp.stack(
-        [
-            R[..., 2, 1] - R[..., 1, 2],
-            R[..., 0, 2] - R[..., 2, 0],
-            R[..., 1, 0] - R[..., 0, 1],
-        ],
-        axis=-1,
-    )
-    small = (theta < 1e-6)[..., None]
-    scale = jnp.where(
-        small,
-        0.5 + theta[..., None] ** 2 / 12.0,
-        theta[..., None] / (2.0 * jnp.sin(jnp.where(small, 1.0, theta[..., None]))),
-    )
-    return scale * vee
+    """Rotation matrix -> axis-angle vector (...,3).
+
+    Quaternion route: exact for every angle in [0, pi] — the (R - R^T)
+    formulation is singular at pi (vee = 0), which real data hits whenever
+    a detected calibration grid is 180-degree rotated vs the board."""
+    q = rot_to_quat(R)
+    qw, qv = q[..., 0], q[..., 1:]
+    n = jnp.linalg.norm(qv, axis=-1)
+    theta = 2.0 * jnp.arctan2(n, qw)
+    small = n < 1e-6
+    n_safe = jnp.where(small, 1.0, n)
+    # small angle: theta/n -> 2/qw * (1 - n^2/(3 qw^2)) -> 2
+    scale = jnp.where(small, 2.0 / jnp.maximum(qw, 1e-6), theta / n_safe)
+    return scale[..., None] * qv
 
 
 def se3_exp(xi: jax.Array) -> jax.Array:
@@ -259,7 +254,7 @@ def se3_log(T: jax.Array) -> jax.Array:
     theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
     W = hat(w)
     W2 = W @ W
-    small = theta2 < 1e-10
+    small = theta2 < 1e-6
     t2_safe = jnp.where(small, 1.0, theta2)
     A, B, _ = _sincos_coeffs(theta2)
     # V^{-1} = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2

@@ -80,3 +80,34 @@ def test_pose_delta_metrics_detects_offset(rng):
     ang, trans = se3.pose_delta_metrics(A, B)
     np.testing.assert_allclose(float(ang), 10.0, atol=1e-3)
     np.testing.assert_allclose(float(trans), 0.5, atol=1e-5)
+
+
+def test_so3_log_exact_pi_rotations():
+    """180-degree flips: the (R - R^T) vee vector vanishes, so a naive log
+    returns 0. Hit by calibration when a detected grid is flipped vs the
+    board (found via test_chessboard NaNs)."""
+    import numpy as np
+
+    axes = np.array(
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0], [1, -1, 2]], dtype=np.float32
+    )
+    axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+    R = se3.so3_exp(jnp.asarray(axes * np.pi))
+    w = np.asarray(se3.so3_log(R))
+    # log must return pi * (+/- axis)
+    ang = np.linalg.norm(w, axis=-1)
+    assert np.allclose(ang, np.pi, atol=1e-5), ang
+    R2 = np.asarray(se3.so3_exp(jnp.asarray(w)))
+    assert np.allclose(R2, np.asarray(R), atol=1e-5)
+
+
+def test_se3_log_tiny_rotation_float32():
+    """theta ~ 2e-4: (1 - cos t) underflows in float32, which made the
+    V-inverse coefficient inf (A/(2B) with B rounded to 0)."""
+    import numpy as np
+
+    xi = jnp.asarray([0.3, -0.2, 0.5, 1e-4, -2e-4, 1.5e-4], jnp.float32)
+    T = se3.se3_exp(xi)
+    back = np.asarray(se3.se3_log(T))
+    assert np.isfinite(back).all()
+    assert np.allclose(back, np.asarray(xi), atol=1e-5)
