@@ -28,13 +28,22 @@ class DescriptorConfig:
     # 240x320 and keep dims MXU-friendly.
     image_hw: Tuple[int, int] = (240, 320)
     num_channels: int = 1
-    # Descriptor backend: "netvlad" (learned, needs trained weights) or
-    # "gist" (training-free multi-scale statistics — the useful version of
-    # the reference's SampleGPUComputer dummy descriptor,
+    # Descriptor backend: "ported" (the reference's actual trained flagship
+    # weights, mobilenet_conv7_allpairloss, run natively — see
+    # models/mobilenet.py), "netvlad" (in-framework net, needs trained
+    # weights), or "gist" (training-free multi-scale statistics — the useful
+    # version of the reference's SampleGPUComputer dummy descriptor,
     # scripts/whole_image_desc_compute_server.py:27-60).
     kind: str = "netvlad"
+    # Directory of the ported-weights artifact (kind="ported"); None uses
+    # artifacts/descriptor_ported.
+    artifact_dir: Optional[str] = None
     # NetVLAD clusters (K=16 in the bundled gray_conv6_K16 model family).
     num_clusters: int = 16
+    # Ghost clusters (GhostVLAD, ref scripts/predict_utils.py:83-155): they
+    # absorb uninformative features in the softmax and are dropped before
+    # normalization. 0 = plain NetVLAD.
+    num_ghost: int = 0
     # Trunk output channel count; descriptor dim = num_clusters * trunk_dim
     # (ref descriptors are 4096-8192 dim, SURVEY.md terminology section).
     trunk_dim: int = 256

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from cerebro_tpu.config import DescriptorConfig
 from cerebro_tpu.models.backbones import MobileTrunk, normalize_image
-from cerebro_tpu.models.netvlad import NetVLAD
+from cerebro_tpu.models.netvlad import GhostVLAD, NetVLAD
 
 
 class DescriptorNet(nn.Module):
@@ -28,12 +28,19 @@ class DescriptorNet(nn.Module):
 
     num_clusters: int = 16
     trunk_dim: int = 256
+    num_ghost: int = 0  # >0 selects GhostVLAD (ref predict_utils.py:83-155)
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
         # images: (B, H, W, C) already normalized to [-1, 1].
         feats = MobileTrunk(out_dim=self.trunk_dim, dtype=self.dtype)(images)
+        if self.num_ghost > 0:
+            return GhostVLAD(
+                num_clusters=self.num_clusters,
+                num_ghost=self.num_ghost,
+                dtype=self.dtype,
+            )(feats)
         return NetVLAD(num_clusters=self.num_clusters, dtype=self.dtype)(feats)
 
     @property
@@ -53,6 +60,7 @@ def create_descriptor_model(
     net = DescriptorNet(
         num_clusters=cfg.num_clusters,
         trunk_dim=cfg.trunk_dim,
+        num_ghost=cfg.num_ghost,
         dtype=jnp.dtype(cfg.dtype),
     )
     h, w = cfg.image_hw

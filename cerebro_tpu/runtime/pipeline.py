@@ -121,6 +121,20 @@ class CerebroPipeline:
         elif dcfg.kind == "gist":
             dim = dcfg.num_clusters * dcfg.trunk_dim
             self.describe_fn = lambda imgs: gist_descriptors(imgs, dim=dim)
+        elif dcfg.kind == "ported":
+            # The reference's actual trained flagship weights
+            # (mobilenet_conv7_allpairloss), run natively (models/mobilenet.py).
+            from cerebro_tpu.models.mobilenet import load_ported_params, ported_forward
+
+            self.params, pmeta = load_ported_params(
+                dcfg.artifact_dir
+            ) if dcfg.artifact_dir else load_ported_params()
+            dim = int(pmeta["descriptor_dim"])
+            scale = pmeta.get("input_scale", "raw")
+            pdtype = jnp.dtype(dcfg.dtype)
+            self.describe_fn = lambda imgs: ported_forward(
+                self.params, imgs, dtype=pdtype, input_scale=scale
+            )
         else:
             self.net, self.params = create_descriptor_model(dcfg, seed=seed)
             if params is not None:
@@ -231,10 +245,19 @@ class CerebroPipeline:
         while self._pending_desc:
             chunk = self._pending_desc[:B]
             self._pending_desc = self._pending_desc[B:]
-            imgs = np.zeros((B, h, w, self.cfg.descriptor.num_channels), np.uint8)
+            C = self.cfg.descriptor.num_channels
+            imgs = np.zeros((B, h, w, C), np.uint8)
             for k, idx in enumerate(chunk):
-                img = self.images.get("left", idx)
-                imgs[k] = _fit_image(img, (h, w))[..., None]
+                img = _fit_image(self.images.get("left", idx), (h, w))
+                if img.ndim == 2:
+                    img = img[..., None]
+                if img.shape[-1] != C:  # gray<->color lift to the configured C
+                    img = (
+                        np.repeat(img, C, axis=-1)
+                        if img.shape[-1] == 1
+                        else img.mean(-1, keepdims=True).astype(np.uint8)
+                    )
+                imgs[k] = img
             with self.timer.stage("describe"):
                 descs = self.describe_fn(jnp.asarray(imgs))
             with self.timer.stage("detect"):

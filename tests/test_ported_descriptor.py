@@ -1,0 +1,164 @@
+"""The ported reference weights (mobilenet_conv7_allpairloss) running natively.
+
+Covers VERDICT r1 item #1: real-imagery detection quality with the reference's
+own trained model. Three layers of evidence:
+
+1. numerical parity against an independent torch re-execution of the raw
+   Keras graph (BN un-folded, literal model_config semantics) — recomputed
+   live from the reference .keras file when available;
+2. place-recognition separation on a real photograph (matplotlib's bundled
+   grace_hopper.jpg): same-place viewpoint/brightness variants score far
+   above different content;
+3. the full pipeline detects a planted revisit using the ported weights.
+
+Reference: scripts/keras.models/mobilenet_conv7_allpairloss.keras, served by
+scripts/whole_image_desc_compute_server.py (launch/euroc_vinsfusion.launch:57).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cerebro_tpu.models.mobilenet import load_ported_params, ported_forward
+
+ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "artifacts", "descriptor_ported")
+REF_MODEL = "/root/reference/scripts/keras.models/mobilenet_conv7_allpairloss.keras"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(ARTIFACT), reason="no ported artifact"
+)
+
+
+def _grace_hopper():
+    import cv2
+    import matplotlib
+
+    path = os.path.join(
+        os.path.dirname(matplotlib.__file__), "mpl-data", "sample_data", "grace_hopper.jpg"
+    )
+    img = cv2.imread(path)
+    assert img is not None
+    return img[:, :, ::-1]  # RGB
+
+
+@pytest.fixture(scope="module")
+def ported():
+    params, meta = load_ported_params(ARTIFACT)
+    return params, meta
+
+
+def test_artifact_meta_records_parity(ported):
+    _, meta = ported
+    assert meta["descriptor_dim"] == 8192
+    assert meta["parity_cosine_f32"] > 0.99
+    assert meta["same_place_min_sim"] > 0.8
+    assert meta["different_content_max_sim"] < 0.5
+
+
+def test_unit_norm_and_dim(ported):
+    params, meta = ported
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (2, 96, 128, 3), dtype=np.uint8)
+    d = np.asarray(ported_forward(params, jnp.asarray(x), dtype=jnp.float32))
+    assert d.shape == (2, meta["descriptor_dim"])
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+
+
+def test_gray_input_is_adapted(ported):
+    """Gray stream into the RGB-trained model: replicated channels must give
+    the same descriptor as an explicitly 3-channel gray image."""
+    params, _ = ported
+    rng = np.random.default_rng(1)
+    g = rng.integers(0, 256, (1, 96, 128, 1), dtype=np.uint8)
+    d1 = np.asarray(ported_forward(params, jnp.asarray(g), dtype=jnp.float32))
+    d3 = np.asarray(
+        ported_forward(params, jnp.asarray(np.repeat(g, 3, -1)), dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(d1, d3, atol=1e-5)
+
+
+def test_real_photo_place_separation(ported):
+    """Same place under viewpoint shift + brightness change scores >> any
+    different content — the property the whole loop detector rests on."""
+    params, _ = ported
+    gh = _grace_hopper()
+    A = gh[0:160, 0:224]
+    rng = np.random.default_rng(2)
+    batch = np.stack(
+        [
+            A,
+            gh[8:168, 12:236],  # same place, shifted
+            np.clip(A.astype(np.int16) + 12, 0, 255),  # same place, brighter
+            gh[-160:, -224:],  # different part of the scene
+            rng.integers(0, 256, (160, 224, 3)),  # noise
+        ]
+    ).astype(np.uint8)
+    d = np.asarray(ported_forward(params, jnp.asarray(batch), dtype=jnp.float32))
+    S = d @ d.T
+    same = min(S[0, 1], S[0, 2])
+    cross = max(S[0, 3], S[0, 4], S[1, 3], S[2, 3])
+    assert same > 0.75, S
+    assert cross < 0.55, S
+    assert same - cross > 0.3, S
+
+
+@pytest.mark.skipif(not os.path.exists(REF_MODEL), reason="reference tree absent")
+def test_parity_vs_torch_raw_reference(ported):
+    """Live differential: artifact forward (BN-folded, XLA) vs an independent
+    torch execution of the raw Keras graph, on a small fully-conv input."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from port_keras_weights import read_raw_weights, torch_reference_forward
+
+    params, _ = ported
+    raw = read_raw_weights(REF_MODEL)
+    rng = np.random.default_rng(3)
+    batch = rng.integers(0, 256, (2, 96, 128, 3), dtype=np.uint8)
+    ref = torch_reference_forward(raw, batch.astype(np.float32))
+    got = np.asarray(ported_forward(params, jnp.asarray(batch), dtype=jnp.float32))
+    cos = np.sum(ref * got, -1)
+    assert cos.min() > 0.99, cos
+
+
+def test_pipeline_detects_revisit_with_ported_weights(tmp_path):
+    """Full pipeline on a revisit sequence of real-photo crops: the ported
+    descriptor must fire the Method-A detector on the revisit and not on
+    distinct frames."""
+    import dataclasses
+
+    from test_pipeline import small_config, camera_pose
+
+    from cerebro_tpu.config import DescriptorConfig
+    from cerebro_tpu.runtime import CerebroPipeline
+
+    gh = _grace_hopper()
+    h, w = 120, 160
+
+    def crop(y, x):
+        return np.ascontiguousarray(gh[y : y + h, x : x + w]).astype(np.uint8)
+
+    # A 14-frame trajectory through the photo; frames 10-13 revisit 0-3.
+    path = [(0, 0), (30, 20), (60, 40), (90, 60), (140, 90), (190, 120),
+            (240, 150), (290, 180), (340, 210), (390, 240),
+            (0, 0), (30, 20), (60, 40), (90, 60)]
+    cfg = small_config(tmp_path)
+    cfg = dataclasses.replace(
+        cfg,
+        descriptor=DescriptorConfig(kind="ported", image_hw=(h, w), num_channels=3),
+        loop=dataclasses.replace(cfg.loop, exclusion_window=6, db_capacity=512),
+        verify=dataclasses.replace(cfg.verify, min_pair_dt_s=2.0),
+    )
+    pipe = CerebroPipeline(cfg)
+    for i, (y, x) in enumerate(path):
+        pipe.ingest_frame(float(i), crop(y, x), n_tracked=100, pose=camera_pose(i))
+    pipe.flush_descriptors()
+    assert pipe.candidates, "ported descriptor failed to detect the planted revisit"
+    for c in pipe.candidates:
+        # every candidate pairs a revisit frame with its original
+        assert c.idx_curr >= 10 and c.idx_prev <= 5, c
+        assert c.score > 0.85, c
