@@ -54,10 +54,7 @@ def tpu_pairs_per_s(n_rows: int, dim: int, batch: int, reps: int, force_cpu: boo
     rng = np.random.default_rng(0)
     vecs = rng.standard_normal((n_rows, dim)).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
-    db = ddb.DescriptorDB(
-        vectors=jnp.asarray(vecs, jnp.bfloat16),
-        count=jnp.asarray(n_rows, jnp.int32),
-    )
+    db = ddb.from_rows(jnp.asarray(vecs, jnp.bfloat16))
     # A pool of DISTINCT query batches: with identical inputs every rep the
     # detector state saturates after one step and the runtime can legally
     # memoize/replay the whole program — measured 4.1e9 pairs/s, which would

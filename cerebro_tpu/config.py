@@ -196,6 +196,15 @@ class RuntimeConfig:
     stash_dir: str = "/tmp/cerebro_tpu_stash"
     # Reload cache TTL in hits (ref src/ImageDataManager.cpp:155).
     image_cache_ttl: int = 10
+    # Backpressure / load shedding (parity: ref sheds descriptor work with
+    # P(skip) = 1 - Δt/est_compute_ms when the GPU server can't keep up,
+    # src/Cerebro.cpp:193-203). Here the policy is deterministic: when the
+    # ingest backlog exceeds `shed_backlog` frames, only every
+    # ceil(backlog/shed_backlog)-th eligible keyframe is queued for
+    # description until the backlog drains. Frames are still stored (poses,
+    # kidnap monitoring, images) — only the descriptor work is shed, exactly
+    # like the reference's skip.
+    shed_backlog: int = 512
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,10 +41,17 @@ def save_pipeline_state(pipe: CerebroPipeline, directory: str) -> None:
         db_tree = {
             "values": pipe.db.values,
             "scales": pipe.db.scales,
+            "global_ids": pipe.db.global_ids,
             "count": pipe.db.count,
+            "total": pipe.db.total,
         }
     else:
-        db_tree = {"vectors": pipe.db.vectors, "count": pipe.db.count}
+        db_tree = {
+            "vectors": pipe.db.vectors,
+            "global_ids": pipe.db.global_ids,
+            "count": pipe.db.count,
+            "total": pipe.db.total,
+        }
     ckpt = ocp.StandardCheckpointer()
     ckpt.save(os.path.join(directory, "descriptor_db"), db_tree, force=True)
     ckpt.wait_until_finished()
@@ -54,8 +61,8 @@ def save_pipeline_state(pipe: CerebroPipeline, directory: str) -> None:
         os.path.join(directory, "keyframes.npz"), **pipe.store.to_state_dict()
     )
     manifest = {
-        "format_version": 1,
-        "db_row_to_store": pipe.db_row_to_store,
+        "format_version": 2,  # v2: ring DB (global_ids + total)
+        "db_gid_to_store": pipe.db_gid_to_store,
         "kidnap": pipe.kidnap.info(),
         "loop_edges": [e.as_json() for e in pipe.loop_edges],
         "descriptor_dim": int(pipe.db.dim),
@@ -81,9 +88,10 @@ def load_pipeline_state(
     with open(os.path.join(directory, "manifest.json")) as f:
         manifest = json.load(f)
     version = manifest.get("format_version", 0)
-    if version > 1:
+    if version != 2:
         raise ValueError(
-            f"checkpoint format v{version} is newer than this build supports (v1)"
+            f"checkpoint format v{version} unsupported (this build reads v2; "
+            "v1 ring-less checkpoints predate the released format)"
         )
 
     pipe = CerebroPipeline(cfg=cfg, rig=rig, describe_fn=describe_fn, params=params)
@@ -102,28 +110,39 @@ def load_pipeline_state(
             {
                 "values": jnp.zeros_like(pipe.db.values),
                 "scales": jnp.zeros_like(pipe.db.scales),
+                "global_ids": jnp.zeros_like(pipe.db.global_ids),
                 "count": jnp.zeros_like(pipe.db.count),
+                "total": jnp.zeros_like(pipe.db.total),
             },
         )
         pipe.db = ddb.QuantizedDB(
-            values=restored["values"], scales=restored["scales"], count=restored["count"]
+            values=restored["values"],
+            scales=restored["scales"],
+            global_ids=restored["global_ids"],
+            count=restored["count"],
+            total=restored["total"],
         )
     else:
         restored = ckpt.restore(
             os.path.join(directory, "descriptor_db"),
             {
                 "vectors": jnp.zeros_like(pipe.db.vectors),
+                "global_ids": jnp.zeros_like(pipe.db.global_ids),
                 "count": jnp.zeros_like(pipe.db.count),
+                "total": jnp.zeros_like(pipe.db.total),
             },
         )
         pipe.db = ddb.DescriptorDB(
-            vectors=restored["vectors"], count=restored["count"]
+            vectors=restored["vectors"],
+            global_ids=restored["global_ids"],
+            count=restored["count"],
+            total=restored["total"],
         )
 
     with np.load(os.path.join(directory, "keyframes.npz")) as z:
         pipe.store = KeyframeStore.from_state_dict({k: z[k] for k in z.files})
 
-    pipe.db_row_to_store = [int(i) for i in manifest["db_row_to_store"]]
+    pipe.db_gid_to_store = [int(i) for i in manifest["db_gid_to_store"]]
     kid = manifest["kidnap"]
     pipe.kidnap.world_id = int(kid["world_id"])
     pipe.kidnap.intervals = [list(iv) for iv in kid["intervals"]]

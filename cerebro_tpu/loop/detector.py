@@ -144,8 +144,8 @@ def detect_batch(
     temporal-consistency rule. Returns candidates + updated carry."""
     limits = query_limits(db, global_idx, cfg.exclusion_window)
     mx, ar = similarity.max_and_argmax(
-        queries, db.vectors, limits, use_pallas=use_pallas
-    )  # (B,), (B,)
+        queries, db.vectors, limits, db.global_ids, use_pallas=use_pallas
+    )  # (B,), (B,) — ar is a GLOBAL id (ring-safe, db/descriptors.py)
     searchable = (limits > 0) & query_valid
     return temporal_consistency(cfg, state, mx, ar, global_idx, searchable, query_valid)
 
@@ -165,6 +165,8 @@ def detect_batch_quantized(
     from cerebro_tpu.ops.similarity import max_and_argmax_int8
 
     limits = query_limits(db, global_idx, cfg.exclusion_window)
-    mx, ar = max_and_argmax_int8(queries, db.values, db.scales, limits)
+    mx, ar = max_and_argmax_int8(
+        queries, db.values, db.scales, limits, db.global_ids
+    )
     searchable = (limits > 0) & query_valid
     return temporal_consistency(cfg, state, mx, ar, global_idx, searchable, query_valid)

@@ -80,7 +80,7 @@ def _add_one(table: HypothesisTable, a, b, dot, valid, cfg: LoopConfig):
     new_support = jnp.where(has_match, table.support[idx] + 1, 1)
     new_score = jnp.where(has_match, table.score_sum[idx] + dot, dot)
 
-    return HypothesisTable(
+    new_table = HypothesisTable(
         a_tail=jnp.where(onehot, a, table.a_tail),
         b_tail=jnp.where(onehot, b, table.b_tail),
         ttl=jnp.where(onehot, new_ttl_val, table.ttl),
@@ -88,6 +88,10 @@ def _add_one(table: HypothesisTable, a, b, dot, valid, cfg: LoopConfig):
         score_sum=jnp.where(onehot, new_score, table.score_sum),
         active=table.active | onehot,
     )
+    # spawn = a NEW hypothesis took this slot (fresh or recycled): consumers
+    # latching per-slot state (e.g. the pipeline's emitted-mask) must reset.
+    spawned = onehot & ~has_match
+    return new_table, spawned
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "promote_support"))
@@ -102,18 +106,24 @@ def update(
 ) -> Tuple[HypothesisTable, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Feed a batch of putative pairs, then apply one digest (TTL decay).
 
-    Returns (table, promoted (H,) bool, a_tail, b_tail, mean_score) where
-    ``promoted`` marks hypotheses that crossed the support threshold this
-    call — the Method-D loop candidates.
+    Returns (table, promoted (H,) bool, a_tail, b_tail, mean_score, spawned
+    (H,) bool) where ``promoted`` marks hypotheses that crossed the support
+    threshold this call — the Method-D loop candidates — and ``spawned``
+    marks slots a NEW hypothesis claimed this call (including recycled
+    slots, ref HypothesisManager slot reuse src/HypothesisManager.cpp:51-86),
+    so per-slot latches held by the caller must reset.
     """
     strong = pair_valid & (dots > cfg.dot_threshold)
 
-    def body(tbl, inp):
+    def body(carry, inp):
+        tbl, sp = carry
         a, b, d, v = inp
-        return _add_one(tbl, a, b, d, v, cfg), None
+        tbl, spawned_one = _add_one(tbl, a, b, d, v, cfg)
+        return (tbl, sp | spawned_one), None
 
-    table, _ = jax.lax.scan(
-        body, table, (pairs_a, pairs_b, dots, strong)
+    H = table.ttl.shape[0]
+    (table, spawned), _ = jax.lax.scan(
+        body, (table, jnp.zeros((H,), bool)), (pairs_a, pairs_b, dots, strong)
     )
 
     # digest: decay TTL, kill dead hypotheses (ref -4/digest)
@@ -133,4 +143,4 @@ def update(
         score_sum=jnp.where(alive, table.score_sum, 0.0),
         active=alive,
     )
-    return out, promoted, table.a_tail, table.b_tail, mean_score
+    return out, promoted, table.a_tail, table.b_tail, mean_score, spawned

@@ -3,21 +3,28 @@
 Method B — ``faiss__naive_loopcandidate_generator`` (src/Cerebro.cpp:366-
 492): k-NN (k=5) retrieval per query, accept the best neighbor when its dot
 exceeds 0.9 and the per-query argmaxes of consecutive queries agree within
-a locality window (same temporal rule as Method A but on top-k hits).
+a locality window — the same temporal rule as Method A, so it shares
+detector.temporal_consistency INCLUDING its 2-entry cross-batch carry:
+streaming one frame at a time and batching are equivalent (the reference is
+purely streaming, so batch boundaries must not change behavior).
 
 Method C — ``faiss_clique_loopcandidate_generator`` (src/Cerebro.cpp:506-
-722): accumulate k-NN hits over W consecutive queries, merge neighbors
-within ±merge_locality into cliques, score each clique by hit count, and
-keep the best clique(s) — subsampling when more than one survives so the
-pose-compute stage is not flooded (ref random subsampling :668-702; here:
-deterministic top-1 by support, the strongest clique).
+722): accumulate k-NN hits over W consecutive queries (ref W=4), merge
+neighbors within ±merge_locality into cliques, score each clique by hit
+count, and keep the best clique(s) — subsampling when more than one
+survives so the pose-compute stage is not flooded (ref random subsampling
+:668-702; here: deterministic top-1 by support, the strongest clique).
+Cross-batch behavior: the hits of the last W-1 queries are carried so a
+clique can span a batch boundary.
 
 Both are pure functions over the top-k results of ops.similarity.search_
 topk / parallel.sharded_topk, so they run unmodified on the sharded DB.
+All history indices are GLOBAL ids (ring-safe, db/descriptors.py).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Tuple
 
@@ -25,49 +32,84 @@ import jax
 import jax.numpy as jnp
 
 from cerebro_tpu.config import LoopConfig
+from cerebro_tpu.loop.detector import (
+    DetectorState,
+    LoopCandidates,
+    init_state,
+    temporal_consistency,
+)
+
+# ref accumulates hits over 4 consecutive frames (src/Cerebro.cpp:506-722)
+CLIQUE_WINDOW = 4
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "threshold"))
 def naive_topk_candidates(
     cfg: LoopConfig,
+    state: DetectorState,
     topk_vals: jax.Array,  # (Q, k) scores, queries consecutive
-    topk_idx: jax.Array,  # (Q, k) history indices
+    topk_idx: jax.Array,  # (Q, k) history global ids
     query_idx: jax.Array,  # (Q,) global indices of the queries
     query_valid: jax.Array,  # (Q,) bool
+    searchable: jax.Array,  # (Q,) bool — query has a non-empty window
     threshold: float = 0.9,  # ref faiss variant uses 0.9 (src/Cerebro.cpp:375)
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Method B. Returns (curr (Q,), prev (Q,), score (Q,), valid (Q,))."""
-    best = topk_idx[:, 0]
-    score = topk_vals[:, 0]
-    # consecutive-query agreement (locality rule on the best hits)
-    loc = cfg.locality_threshold
-    prev_best = jnp.roll(best, 1).at[0].set(best[0])
-    prev2_best = jnp.roll(best, 2).at[:2].set(best[:2][0])
-    agree = (jnp.abs(best - prev_best) < loc) & (jnp.abs(best - prev2_best) < loc)
-    ok = query_valid & (score > threshold) & agree
-    return query_idx, best, score, ok
+) -> Tuple[LoopCandidates, DetectorState]:
+    """Method B. Same 3-consecutive-argmax rule as Method A applied to the
+    best top-k hit, with the cross-batch 2-entry carry."""
+    cfg_b = dataclasses.replace(cfg, dot_threshold=threshold)
+    return temporal_consistency(
+        cfg_b,
+        state,
+        topk_vals[:, 0],
+        topk_idx[:, 0],
+        query_idx,
+        searchable & query_valid,
+        query_valid,
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_cliques"))
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CliqueState:
+    """Carry for Method C: the top-k hits of the last W-1 queries."""
+
+    idx: jax.Array  # (W-1, k) int32 global ids
+    val: jax.Array  # (W-1, k) float32
+    ok: jax.Array  # (W-1, k) bool
+
+
+def init_clique_state(k: int, window: int = CLIQUE_WINDOW) -> CliqueState:
+    w1 = max(window - 1, 0)
+    return CliqueState(
+        idx=jnp.zeros((w1, k), jnp.int32),
+        val=jnp.full((w1, k), -jnp.inf, jnp.float32),
+        ok=jnp.zeros((w1, k), bool),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_cliques", "threshold"))
 def clique_topk_candidates(
     cfg: LoopConfig,
+    state: CliqueState,
     topk_vals: jax.Array,  # (Q, k)
     topk_idx: jax.Array,  # (Q, k)
     query_idx: jax.Array,  # (Q,)
     query_valid: jax.Array,  # (Q,)
     threshold: float = 0.85,
     n_cliques: int = 1,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Method C. Merge all (query-window x k) hits into history-axis
-    cliques of width ±hypothesis_locality; return the top clique center(s).
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, CliqueState]:
+    """Method C. Merge all windowed hits (carry + this batch) into
+    history-axis cliques of width ±hypothesis_locality; return the top
+    clique center(s).
 
-    Returns (curr (n,), prev (n,), score (n,), valid (n,))."""
+    Returns (curr (n,), prev (n,), score (n,), valid (n,), new_state)."""
     Q, k = topk_vals.shape
     loc = cfg.hypothesis_locality
 
-    flat_idx = topk_idx.reshape(-1)
-    flat_val = topk_vals.reshape(-1)
-    flat_ok = (flat_val > threshold) & jnp.repeat(query_valid, k)
+    batch_ok = (topk_vals > threshold) & query_valid[:, None]
+    flat_idx = jnp.concatenate([state.idx, topk_idx]).reshape(-1)
+    flat_val = jnp.concatenate([state.val, topk_vals]).reshape(-1)
+    flat_ok = jnp.concatenate([state.ok, batch_ok]).reshape(-1)
 
     # support of hit h = number of other hits within +-loc on the history axis
     d = jnp.abs(flat_idx[:, None] - flat_idx[None, :]) <= loc
@@ -95,4 +137,20 @@ def clique_topk_candidates(
     # at a frame that does not exist yet)
     last_valid = jnp.max(jnp.where(query_valid, query_idx, -1))
     curr = jnp.broadcast_to(last_valid, centers.shape)
-    return curr, centers, scores, oks & (scores > threshold) & (last_valid >= 0)
+    valid = oks & (scores > threshold) & (last_valid >= 0)
+
+    # Carry the newest W-1 REAL queries' hits across the batch boundary.
+    w1 = state.idx.shape[0]
+    all_idx = jnp.concatenate([state.idx, topk_idx])
+    all_val = jnp.concatenate([state.val, topk_vals])
+    all_ok = jnp.concatenate([state.ok, batch_ok])
+    # rows of `all_*`: [carry (w1), batch (Q)]; real rows are carry rows
+    # (always real) plus the first n_valid batch rows.
+    n_valid = jnp.sum(query_valid.astype(jnp.int32))
+    end = w1 + n_valid  # exclusive end of real rows
+    take = jnp.clip(end - w1, 0, None) + jnp.arange(w1)  # last w1 real rows
+    take = jnp.clip(take, 0, w1 + Q - 1)
+    new_state = CliqueState(
+        idx=all_idx[take], val=all_val[take], ok=all_ok[take]
+    )
+    return curr, centers, scores, valid, new_state

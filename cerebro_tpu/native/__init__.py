@@ -71,7 +71,13 @@ def _load():
         ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int,
     ]
-    for name in ("ingest_gap_count", "ingest_pending", "ingest_dropped"):
+    for name in (
+        "ingest_gap_count",
+        "ingest_pending",
+        "ingest_dropped",
+        "ingest_emit_horizon",
+        "ingest_oldest_pending",
+    ):
         getattr(lib, name).restype = ctypes.c_int64
         getattr(lib, name).argtypes = [ctypes.c_void_p]
     _lib_handle = lib
@@ -160,6 +166,17 @@ class NativeIngest:
     @property
     def dropped(self) -> int:
         return int(self._lib.ingest_dropped(self._ctx))
+
+    @property
+    def emit_horizon(self) -> int:
+        """Frames with stamp <= this are emitted (or will be on the next
+        drain); older side-channel payloads are reclaimable."""
+        return int(self._lib.ingest_emit_horizon(self._ctx))
+
+    @property
+    def oldest_pending(self) -> int:
+        """Stamp of the oldest pending frame; int64 max when empty."""
+        return int(self._lib.ingest_oldest_pending(self._ctx))
 
 
 class PyIngest:
@@ -265,6 +282,14 @@ class PyIngest:
     @property
     def pending(self) -> int:
         return len(self.frames)
+
+    @property
+    def emit_horizon(self) -> int:
+        return self.newest - self.hold
+
+    @property
+    def oldest_pending(self) -> int:
+        return min(self.frames) if self.frames else np.iinfo(np.int64).max
 
 
 def make_ingest(**kw):

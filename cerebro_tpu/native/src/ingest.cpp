@@ -210,4 +210,20 @@ int64_t ingest_dropped(Ctx* c) {
   return c->dropped;
 }
 
+// Emit horizon: frames with stamp <= this have either been emitted or will
+// be on the next drain; side-channel payloads (pixel buffers held by the
+// Python layer) older than min(horizon, oldest_pending) are garbage.
+int64_t ingest_emit_horizon(Ctx* c) {
+  std::lock_guard<std::mutex> lock(c->mu);
+  return c->newest_ns - c->hold_ns;
+}
+
+// Stamp of the oldest still-pending frame (INT64_MAX when empty): nothing
+// below it will ever be emitted again.
+int64_t ingest_oldest_pending(Ctx* c) {
+  std::lock_guard<std::mutex> lock(c->mu);
+  if (c->frames.empty()) return INT64_MAX;
+  return c->frames.begin()->first;
+}
+
 }  // extern "C"

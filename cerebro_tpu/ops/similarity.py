@@ -17,10 +17,17 @@ Two implementations:
     (parallel/sharded_search.py) runs per shard.
 
 Masking model: each query q carries ``limit[q]`` — it may only match
-history rows with global index < limit[q]. This encodes the reference's
+history entries with GLOBAL id < limit[q]. This encodes the reference's
 50-frame exclusion window (query at global index g scans M[:, 0:g-50],
 src/Cerebro.cpp:914,1026) per query, so a whole batch of new descriptors is
 scored in one dispatch without leaking future rows to older queries.
+
+Ring awareness: the DB is a ring (db/descriptors.py), so row index != global
+id once the buffer wraps. Every search optionally takes ``gids`` — the
+per-row global-id array — masks by ``gids[row] < limit``, and returns match
+indices AS GLOBAL IDS. With ``gids=None`` rows are their own ids (the
+pre-wrap / standalone-array case) and behavior is the classic row-bound
+mask.
 """
 
 from __future__ import annotations
@@ -43,10 +50,15 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _row_gids(n: int) -> jax.Array:
+    return jnp.arange(n, dtype=jnp.int32)
+
+
 def scores_xla(
     queries: jax.Array,  # (Q, D) unit descriptors
     db: jax.Array,  # (N, D) descriptor DB (rows may be invalid)
-    limits: jax.Array,  # (Q,) int32 — query q may match rows < limits[q]
+    limits: jax.Array,  # (Q,) int32 — query q may match gid < limits[q]
+    gids: jax.Array | None = None,  # (N,) int32 per-row global ids
 ) -> jax.Array:
     """(Q, N) dot-product scores with masked entries at -inf."""
     n = db.shape[0]
@@ -56,8 +68,8 @@ def scores_xla(
         db.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
-    col = jnp.arange(n, dtype=jnp.int32)[None, :]
-    return jnp.where(col < limits[:, None], s, NEG_INF)
+    g = (_row_gids(n) if gids is None else gids.astype(jnp.int32))[None, :]
+    return jnp.where(g < limits[:, None], s, NEG_INF)
 
 
 # ---------------------------------------------------------------------------
@@ -65,14 +77,17 @@ def scores_xla(
 # ---------------------------------------------------------------------------
 
 
-def _score_argmax_kernel(q_ref, db_ref, lim_ref, max_ref, arg_ref, scratch_max, scratch_arg):
-    """Grid over history tiles; running (max, argmax) per query row.
+def _score_argmax_kernel(
+    q_ref, db_ref, lim_ref, gid_ref, max_ref, arg_ref, scratch_max, scratch_arg
+):
+    """Grid over history tiles; running (max, argmax-as-gid) per query row.
 
     q_ref:    (Q, D) queries, VMEM-resident across the whole grid
     db_ref:   (TILE_N, D) current DB tile
-    lim_ref:  (Q, 1) per-query exclusive upper bound on matchable row index
+    lim_ref:  (Q, 1) per-query exclusive upper bound on matchable gid
+    gid_ref:  (1, TILE_N) per-row global ids of this tile
     max_ref:  (Q, 1) out — global max score per query
-    arg_ref:  (Q, 1) out — global argmax index per query
+    arg_ref:  (Q, 1) out — gid of the best match per query
     """
     t = pl.program_id(0)
 
@@ -89,11 +104,14 @@ def _score_argmax_kernel(q_ref, db_ref, lim_ref, max_ref, arg_ref, scratch_max, 
     )  # (Q, TILE_N)
 
     q_n = s.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (q_n, TILE_N), 1) + t * TILE_N
-    s = jnp.where(col < lim_ref[:], s, NEG_INF)
+    gid = jnp.broadcast_to(gid_ref[:], (q_n, TILE_N))  # (Q, TILE_N)
+    s = jnp.where(gid < lim_ref[:], s, NEG_INF)
 
     tile_max = jnp.max(s, axis=1, keepdims=True)  # (Q, 1)
-    tile_arg = jnp.argmax(s, axis=1)[:, None] + t * TILE_N  # (Q, 1) global idx
+    am = jnp.argmax(s, axis=1)  # (Q,) local row in tile
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_n, TILE_N), 1)
+    onehot = col == am[:, None]
+    tile_arg = jnp.sum(jnp.where(onehot, gid, 0), axis=1, keepdims=True)  # (Q,1) gid
 
     better = tile_max > scratch_max[:]
     scratch_arg[:] = jnp.where(better, tile_arg, scratch_arg[:])
@@ -109,17 +127,20 @@ def _score_argmax_kernel(q_ref, db_ref, lim_ref, max_ref, arg_ref, scratch_max, 
 def max_and_argmax(
     queries: jax.Array,  # (Q, D)
     db: jax.Array,  # (N, D), N % TILE_N == 0 for the pallas path
-    limits: jax.Array,  # (Q,) int32 exclusive row bound per query
+    limits: jax.Array,  # (Q,) int32 exclusive gid bound per query
+    gids: jax.Array | None = None,  # (N,) int32; None -> rows are their own ids
     use_pallas: bool = True,
 ):
-    """Per-query (max score, argmax index) over the DB — the quantity the
+    """Per-query (max score, matched gid) over the DB — the quantity the
     reference's detector needs per tick (argmax of u/um/umm plus the max
     value, src/Cerebro.cpp:1019-1056)."""
     Q, D = queries.shape
     N = db.shape[0]
+    g = _row_gids(N) if gids is None else gids.astype(jnp.int32)
     if not use_pallas or _interpret():
-        s = scores_xla(queries, db, limits)
-        return jnp.max(s, axis=1), jnp.argmax(s, axis=1)
+        s = scores_xla(queries, db, limits, g)
+        am = jnp.argmax(s, axis=1)
+        return jnp.max(s, axis=1), g[am]
 
     assert N % TILE_N == 0, f"DB rows {N} must be a multiple of {TILE_N}"
     grid = (N // TILE_N,)
@@ -134,6 +155,7 @@ def max_and_argmax(
             pl.BlockSpec((Q, D), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_N, D), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N), lambda t: (0, t), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((Q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -150,7 +172,7 @@ def max_and_argmax(
         cost_estimate=pl.CostEstimate(
             flops=2 * Q * N * D, bytes_accessed=N * D * 2 + Q * D * 2, transcendentals=0
         ),
-    )(qf, dbf, lim)
+    )(qf, dbf, lim, g.reshape(1, N))
     return mx[:, 0], ar[:, 0]
 
 
@@ -159,12 +181,15 @@ def search_topk(
     queries: jax.Array,  # (Q, D)
     db: jax.Array,  # (N, D)
     limits: jax.Array,  # (Q,) int32
+    gids: jax.Array | None = None,  # (N,) int32
     k: int = 5,
 ):
     """Full top-k retrieval (the faiss IndexFlatIP k-NN equivalent,
-    ref src/Cerebro.cpp:460). Returns (values (Q,k), indices (Q,k))."""
-    s = scores_xla(queries, db, limits)
-    return jax.lax.top_k(s, k)
+    ref src/Cerebro.cpp:460). Returns (values (Q,k), gids (Q,k))."""
+    g = _row_gids(db.shape[0]) if gids is None else gids.astype(jnp.int32)
+    s = scores_xla(queries, db, limits, g)
+    v, rows = jax.lax.top_k(s, k)
+    return v, g[rows]
 
 
 # ---------------------------------------------------------------------------
@@ -189,9 +214,10 @@ def max_and_argmax_int8(
     db_q: jax.Array,  # (N, D) int8
     db_scale: jax.Array,  # (N,) f32
     limits: jax.Array,  # (Q,) int32
+    gids: jax.Array | None = None,  # (N,) int32
 ):
-    """Per-query (max, argmax) over an int8-quantized DB. The MXU runs the
-    int8 x int8 -> int32 contraction natively; scales apply to the (Q, N)
+    """Per-query (max, matched gid) over an int8-quantized DB. The MXU runs
+    the int8 x int8 -> int32 contraction natively; scales apply to the (Q, N)
     result before masking."""
     q_q, q_scale = quantize_rows(queries)
     s = jax.lax.dot_general(
@@ -202,23 +228,24 @@ def max_and_argmax_int8(
     ).astype(jnp.float32)
     s = s * q_scale[:, None] * db_scale[None, :]
     n = db_q.shape[0]
-    col = jnp.arange(n, dtype=jnp.int32)[None, :]
-    s = jnp.where(col < limits[:, None], s, NEG_INF)
-    return jnp.max(s, axis=1), jnp.argmax(s, axis=1)
+    g = _row_gids(n) if gids is None else gids.astype(jnp.int32)
+    s = jnp.where(g[None, :] < limits[:, None], s, NEG_INF)
+    am = jnp.argmax(s, axis=1)
+    return jnp.max(s, axis=1), g[am]
 
 
 # ---------------------------------------------------------------------------
 # Top-k without materializing (Q, N): k passes of the fused argmax kernel,
-# each banning the indices found so far. k is small (5 in the reference's
+# each banning the gids found so far. k is small (5 in the reference's
 # faiss usage), so k streaming passes beat one pass that writes the full
 # score matrix to HBM for large N.
 # ---------------------------------------------------------------------------
 
 
 def _score_argmax_banned_kernel(
-    q_ref, db_ref, lim_ref, ban_ref, max_ref, arg_ref, scratch_max, scratch_arg
+    q_ref, db_ref, lim_ref, gid_ref, ban_ref, max_ref, arg_ref, scratch_max, scratch_arg
 ):
-    """The streaming argmax kernel with a per-query banned-index list
+    """The streaming argmax kernel with a per-query banned-gid list
     (ban_ref (Q, KB) int32; -1 slots inert)."""
     t = pl.program_id(0)
 
@@ -234,13 +261,16 @@ def _score_argmax_banned_kernel(
         preferred_element_type=jnp.float32,
     )  # (Q, TILE_N)
     q_n = s.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (q_n, TILE_N), 1) + t * TILE_N
-    s = jnp.where(col < lim_ref[:], s, NEG_INF)
-    banned = jnp.any(col[:, :, None] == ban_ref[:][:, None, :], axis=-1)
+    gid = jnp.broadcast_to(gid_ref[:], (q_n, TILE_N))
+    s = jnp.where(gid < lim_ref[:], s, NEG_INF)
+    banned = jnp.any(gid[:, :, None] == ban_ref[:][:, None, :], axis=-1)
     s = jnp.where(banned, NEG_INF, s)
 
     tile_max = jnp.max(s, axis=1, keepdims=True)
-    tile_arg = jnp.argmax(s, axis=1)[:, None] + t * TILE_N
+    am = jnp.argmax(s, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_n, TILE_N), 1)
+    onehot = col == am[:, None]
+    tile_arg = jnp.sum(jnp.where(onehot, gid, 0), axis=1, keepdims=True)
     better = tile_max > scratch_max[:]
     scratch_arg[:] = jnp.where(better, tile_arg, scratch_arg[:])
     scratch_max[:] = jnp.where(better, tile_max, scratch_max[:])
@@ -251,16 +281,17 @@ def _score_argmax_banned_kernel(
         arg_ref[:] = scratch_arg[:]
 
 
-def _max_and_argmax_banned(queries, db, limits, banned, use_pallas: bool):
-    """(max, argmax) with banned indices. banned: (Q, KB) int32, -1 inert."""
+def _max_and_argmax_banned(queries, db, limits, gids, banned, use_pallas: bool):
+    """(max, matched gid) with banned gids. banned: (Q, KB) int32, -1 inert."""
     Q, D = queries.shape
     N = db.shape[0]
+    g = _row_gids(N) if gids is None else gids.astype(jnp.int32)
     if not use_pallas or _interpret():
-        s = scores_xla(queries, db, limits)
-        col = jnp.arange(N, dtype=jnp.int32)[None, :]
-        ban_mask = jnp.any(col[:, :, None] == banned[:, None, :], axis=-1)
+        s = scores_xla(queries, db, limits, g)
+        ban_mask = jnp.any(g[None, :, None] == banned[:, None, :], axis=-1)
         s = jnp.where(ban_mask, NEG_INF, s)
-        return jnp.max(s, axis=1), jnp.argmax(s, axis=1)
+        am = jnp.argmax(s, axis=1)
+        return jnp.max(s, axis=1), g[am]
 
     assert N % TILE_N == 0
     grid = (N // TILE_N,)
@@ -271,6 +302,7 @@ def _max_and_argmax_banned(queries, db, limits, banned, use_pallas: bool):
             pl.BlockSpec((Q, D), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_N, D), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (Q, banned.shape[1]), lambda t: (0, 0), memory_space=pltpu.VMEM
             ),
@@ -291,6 +323,7 @@ def _max_and_argmax_banned(queries, db, limits, banned, use_pallas: bool):
         queries.astype(jnp.bfloat16),
         db.astype(jnp.bfloat16),
         limits.astype(jnp.int32).reshape(Q, 1),
+        g.reshape(1, N),
         banned.astype(jnp.int32),
     )
     return mx[:, 0], ar[:, 0]
@@ -301,11 +334,12 @@ def search_topk_streaming(
     queries: jax.Array,  # (Q, D)
     db: jax.Array,  # (N, D)
     limits: jax.Array,  # (Q,) int32
+    gids: jax.Array | None = None,  # (N,) int32
     k: int = 5,
     use_pallas: bool = True,
 ):
     """Exact top-k via k banned-argmax streaming passes — the (Q, N) score
-    matrix never exists. Returns (values (Q, k), indices (Q, k)); slots past
+    matrix never exists. Returns (values (Q, k), gids (Q, k)); slots past
     a query's match count carry NEG_INF/−1-like fillers consistent with
     ``search_topk``'s ordering."""
     Q = queries.shape[0]
@@ -313,7 +347,7 @@ def search_topk_streaming(
     banned = jnp.full((Q, kb), -1, jnp.int32)
     vals, idxs = [], []
     for j in range(k):
-        mx, ar = _max_and_argmax_banned(queries, db, limits, banned, use_pallas)
+        mx, ar = _max_and_argmax_banned(queries, db, limits, gids, banned, use_pallas)
         vals.append(mx)
         idxs.append(ar)
         banned = banned.at[:, j].set(jnp.where(mx > NEG_INF / 2, ar, -1))

@@ -28,13 +28,16 @@ from cerebro_tpu.ops import similarity
 
 
 def shard_db(db: DescriptorDB, mesh: Mesh, axis: str = "db") -> DescriptorDB:
-    """Place the DB with rows sharded over the mesh axis; the count scalar
-    is replicated."""
+    """Place the DB with rows (and their global ids) sharded over the mesh
+    axis; the count/total scalars are replicated."""
     vec_sharding = NamedSharding(mesh, P(axis, None))
-    cnt_sharding = NamedSharding(mesh, P())
+    gid_sharding = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
     return DescriptorDB(
         vectors=jax.device_put(db.vectors, vec_sharding),
-        count=jax.device_put(db.count, cnt_sharding),
+        global_ids=jax.device_put(db.global_ids, gid_sharding),
+        count=jax.device_put(db.count, rep),
+        total=jax.device_put(db.total, rep),
     )
 
 
@@ -42,27 +45,25 @@ def shard_db(db: DescriptorDB, mesh: Mesh, axis: str = "db") -> DescriptorDB:
 def sharded_max_and_argmax(
     queries: jax.Array,  # (Q, D) replicated
     db_vectors: jax.Array,  # (N, D) sharded over rows
-    limits: jax.Array,  # (Q,) int32 global exclusive row bounds
+    limits: jax.Array,  # (Q,) int32 global exclusive gid bounds
+    gids: jax.Array,  # (N,) int32 per-row global ids, sharded with the rows
     mesh: Mesh,
     axis: str = "db",
     use_pallas: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Global (max, argmax) per query over the row-sharded DB."""
-    n_total = db_vectors.shape[0]
-    n_dev = mesh.shape[axis]
-    rows_per_shard = n_total // n_dev
+    """Global (max, matched gid) per query over the row-sharded DB.
 
-    def local(queries, db_shard, limits):
-        my = jax.lax.axis_index(axis)
-        offset = my * rows_per_shard
-        local_limits = jnp.clip(limits - offset, 0, rows_per_shard)
+    Global ids make the shard-local mask trivially correct: every shard
+    masks by ``gid < limit`` directly — no offset arithmetic, and ring wrap
+    needs no special case."""
+
+    def local(queries, db_shard, limits, gid_shard):
         mx, ar = similarity.max_and_argmax(
-            queries, db_shard, local_limits, use_pallas=use_pallas
+            queries, db_shard, limits, gid_shard, use_pallas=use_pallas
         )
-        # Shards whose window is empty contribute NEG_INF automatically
-        # (limit 0 masks every column).
+        # Shards holding no matchable entries contribute NEG_INF automatically.
         all_mx = jax.lax.all_gather(mx, axis)  # (n_dev, Q)
-        all_ar = jax.lax.all_gather(ar + offset, axis)
+        all_ar = jax.lax.all_gather(ar, axis)  # gids already global
         best = jnp.argmax(all_mx, axis=0)  # (Q,)
         gmx = jnp.take_along_axis(all_mx, best[None, :], axis=0)[0]
         gar = jnp.take_along_axis(all_ar, best[None, :], axis=0)[0]
@@ -71,10 +72,10 @@ def sharded_max_and_argmax(
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P()),
+        in_specs=(P(), P(axis, None), P(), P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
-    )(queries, db_vectors, limits)
+    )(queries, db_vectors, limits, gids)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis", "k"))
@@ -82,24 +83,22 @@ def sharded_topk(
     queries: jax.Array,  # (Q, D) replicated
     db_vectors: jax.Array,  # (N, D) sharded over rows
     limits: jax.Array,  # (Q,) int32
+    gids: jax.Array,  # (N,) int32 sharded with the rows
     mesh: Mesh,
     axis: str = "db",
     k: int = 5,
 ) -> Tuple[jax.Array, jax.Array]:
     """Distributed top-k retrieval: local top-k per shard, all-gather the
-    k*n_dev partials, re-top-k. Exact for any k <= rows_per_shard."""
-    n_total = db_vectors.shape[0]
+    k*n_dev partials, re-top-k. Exact for any k <= rows_per_shard.
+    Returned indices are global ids."""
     n_dev = mesh.shape[axis]
-    rows_per_shard = n_total // n_dev
 
-    def local(queries, db_shard, limits):
-        my = jax.lax.axis_index(axis)
-        offset = my * rows_per_shard
-        local_limits = jnp.clip(limits - offset, 0, rows_per_shard)
-        s = similarity.scores_xla(queries, db_shard, local_limits)
-        v, i = jax.lax.top_k(s, k)  # (Q, k)
+    def local(queries, db_shard, limits, gid_shard):
+        s = similarity.scores_xla(queries, db_shard, limits, gid_shard)
+        v, i = jax.lax.top_k(s, k)  # (Q, k) local rows
+        gi_local = gid_shard[i]  # -> global ids
         av = jax.lax.all_gather(v, axis, axis=1)  # (Q, n_dev, k)
-        ai = jax.lax.all_gather(i + offset, axis, axis=1)
+        ai = jax.lax.all_gather(gi_local, axis, axis=1)
         av = av.reshape(queries.shape[0], n_dev * k)
         ai = ai.reshape(queries.shape[0], n_dev * k)
         gv, gi = jax.lax.top_k(av, k)
@@ -108,10 +107,10 @@ def sharded_topk(
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P()),
+        in_specs=(P(), P(axis, None), P(), P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
-    )(queries, db_vectors, limits)
+    )(queries, db_vectors, limits, gids)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis", "use_pallas"))
@@ -130,7 +129,8 @@ def detect_batch_sharded(
     identical temporal-consistency semantics."""
     limits = query_limits(db, global_idx, cfg.exclusion_window)
     mx, ar = sharded_max_and_argmax(
-        queries, db.vectors, limits, mesh, axis=axis, use_pallas=use_pallas
+        queries, db.vectors, limits, db.global_ids, mesh, axis=axis,
+        use_pallas=use_pallas,
     )
     searchable = (limits > 0) & query_valid
     return detector.temporal_consistency(

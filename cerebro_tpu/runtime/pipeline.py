@@ -155,10 +155,19 @@ class CerebroPipeline:
             )
             self.db = shard_db(self.db, mesh, axis=self.cfg.mesh.axis_db)
         self.det_state = detector.init_state()
-        # DB row -> keyframe-store index (only described keyframes enter the DB)
-        self.db_row_to_store: List[int] = []
+        # Method-B carry (same 2-entry state machinery as Method A)
+        self.det_state_b = detector.init_state()
+        # Method-C carry: hits of the last W-1 queries
+        from cerebro_tpu.loop.topk_methods import init_clique_state
+
+        self.clique_state = init_clique_state(self.cfg.loop.top_k)
+        # global id -> keyframe-store index (only described keyframes enter
+        # the DB; the DB is a ring, so searches return GLOBAL ids and this
+        # append-only map stays valid after eviction/wraparound)
+        self.db_gid_to_store: List[int] = []
 
         self._pending_desc: List[int] = []  # store indices awaiting description
+        self.shed_descriptors = 0  # keyframes whose description was shed under load
         self.candidates: List[RawCandidate] = []  # awaiting verification
         self.loop_edges: List[LoopEdge] = []
         self._verify_key = jax.random.PRNGKey(seed + 1)
@@ -191,6 +200,7 @@ class CerebroPipeline:
         right_img: Optional[np.ndarray] = None,
         depth_img: Optional[np.ndarray] = None,  # (H, W) metres (depth cam)
         is_keyframe: bool = True,
+        describe_eligible: bool = True,  # False = shed under load (see RuntimeConfig.shed_backlog)
     ):
         """One camera frame. Returns kidnap events fired by this frame."""
         events = self.kidnap.feed(stamp, n_tracked)
@@ -210,7 +220,12 @@ class CerebroPipeline:
             # descriptor eligibility (ref skips kidnapped <20-feat frames,
             # src/Cerebro.cpp:206-210)
             if n_tracked >= self.cfg.descriptor.min_tracked_features:
-                self._pending_desc.append(idx)
+                if describe_eligible:
+                    self._pending_desc.append(idx)
+                else:
+                    # load shedding (ref P(skip)=1-Δt/est_ms,
+                    # src/Cerebro.cpp:193-203)
+                    self.shed_descriptors += 1
         self._maintain_ram_window(stamp)
         if len(self._pending_desc) >= self.cfg.runtime.descriptor_batch:
             self.flush_descriptors()
@@ -265,7 +280,7 @@ class CerebroPipeline:
 
     def _detect(self, descs: jax.Array, store_idx: List[int], n_valid: int):
         B = descs.shape[0]
-        row0 = len(self.db_row_to_store)
+        row0 = len(self.db_gid_to_store)
         gidx = jnp.arange(row0, row0 + B, dtype=jnp.int32)
         qvalid = jnp.asarray(np.arange(B) < n_valid)
 
@@ -274,12 +289,12 @@ class CerebroPipeline:
         else:
             self.db = ddb.append(self.db, descs, jnp.asarray(n_valid))
         pairs = self._run_method(descs, gidx, qvalid, n_valid)
-        self.db_row_to_store.extend(store_idx[:n_valid])
+        self.db_gid_to_store.extend(store_idx[:n_valid])
         self.store.mark_described(np.asarray(store_idx[:n_valid]))
 
         for curr_row, prev_row, score in pairs:
-            curr = self.db_row_to_store[curr_row]
-            prev = self.db_row_to_store[prev_row]
+            curr = self.db_gid_to_store[curr_row]
+            prev = self.db_gid_to_store[prev_row]
             # Δt gate (ref rejects pairs <10 s apart,
             # src/ProcessedLoopCandidate.cpp:49-56)
             if (
@@ -341,26 +356,40 @@ class CerebroPipeline:
             from cerebro_tpu.parallel import sharded_topk
 
             vals, idx = sharded_topk(
-                descs, self.db.vectors, limits, self.mesh,
+                descs, self.db.vectors, limits, self.db.global_ids, self.mesh,
                 axis=self.cfg.mesh.axis_db, k=cfg.top_k,
             )
         else:
-            vals, idx = search_topk(descs, self.db.vectors, limits, k=cfg.top_k)
+            vals, idx = search_topk(
+                descs, self.db.vectors, limits, self.db.global_ids, k=cfg.top_k
+            )
 
         if method == "B":
-            curr, prev, score, ok = naive_topk_candidates(
-                cfg, vals, idx, gidx, qvalid
+            # carry-correct 3-consecutive agreement (same rule + state
+            # machinery as Method A; ref src/Cerebro.cpp:366-492)
+            cands, self.det_state_b = naive_topk_candidates(
+                cfg, self.det_state_b, vals, idx, gidx, qvalid, limits > 0
             )
+            valid = np.asarray(cands.valid)
+            return [
+                (int(cands.curr_idx[k]), int(cands.prev_idx[k]), float(cands.score[k]))
+                for k in range(n_valid)
+                if valid[k]
+            ]
         elif method == "C":
-            curr, prev, score, ok = clique_topk_candidates(
-                cfg, vals, idx, gidx, qvalid
+            curr, prev, score, ok, self.clique_state = clique_topk_candidates(
+                cfg, self.clique_state, vals, idx, gidx, qvalid
             )
         elif method == "D":
             hits_ok = qvalid & (vals[:, 0] > cfg.dot_threshold)
-            self.hyp_table, promoted, a_t, b_t, mean_s = hyp_update(
+            self.hyp_table, promoted, a_t, b_t, mean_s, spawned = hyp_update(
                 cfg, self.hyp_table, gidx, idx[:, 0], vals[:, 0], hits_ok,
                 promote_support=cfg.hypothesis_promote,
             )
+            # slots recycled by a new hypothesis (or dead) must re-arm the
+            # emitted latch (ref slot reuse, src/HypothesisManager.cpp:51-86)
+            self._hyp_emitted &= ~np.asarray(spawned)
+            self._hyp_emitted &= np.asarray(self.hyp_table.active)
             keep = np.asarray(promoted) & ~self._hyp_emitted
             self._hyp_emitted |= np.asarray(promoted)
             return [
@@ -651,7 +680,8 @@ class CerebroPipeline:
         return {
             "frames": self.store.size,
             "keyframes": int(self.store.is_keyframe[: self.store.size].sum()),
-            "described": len(self.db_row_to_store),
+            "described": len(self.db_gid_to_store),
+            "shed_descriptors": self.shed_descriptors,
             "pending_descriptors": len(self._pending_desc),
             "pending_candidates": len(self.candidates),
             "loop_edges": len(self.loop_edges),
@@ -671,21 +701,30 @@ class StreamIngestor:
     (src/DataManager.cpp:769-1091): feeds from any thread, association in
     native code, single-writer hand-off into the engine."""
 
-    def __init__(self, pipeline: CerebroPipeline, hold_s: float = 0.2):
+    def __init__(
+        self, pipeline: CerebroPipeline, hold_s: float = 0.2, capacity: int = 4096
+    ):
         from cerebro_tpu.native import make_ingest
 
         self.pipeline = pipeline
         self.engine = make_ingest(tol_s=1e-3, hold_s=hold_s,
-                                  gap_s=pipeline.cfg.kidnap.stream_gap_s)
+                                  gap_s=pipeline.cfg.kidnap.stream_gap_s,
+                                  capacity=capacity)
         self._left: dict = {}
         self._right: dict = {}
         self._lock = None  # pixel dicts are guarded by the GIL (dict ops)
+        self.pixels_dropped = 0  # images rejected at capacity or pruned stale
+        self._shed_phase = 0  # deterministic decimation counter
 
     # -- producer side (any thread) ------------------------------------
 
     def push_image(self, stamp_ns: int, img: np.ndarray, is_right: bool = False):
-        (self._right if is_right else self._left)[stamp_ns] = img
-        self.engine.push_image(stamp_ns, is_right)
+        # engine first: if the ring is at capacity the frame will never be
+        # emitted, so keeping its pixels would leak
+        if self.engine.push_image(stamp_ns, is_right):
+            (self._right if is_right else self._left)[stamp_ns] = img
+        else:
+            self.pixels_dropped += 1
 
     def push_pose(self, stamp_ns: int, w_T_c: np.ndarray):
         self.engine.push_pose(stamp_ns, w_T_c)
@@ -696,13 +735,26 @@ class StreamIngestor:
     # -- consumer side (pipeline thread) --------------------------------
 
     def pump(self, max_frames: int = 256) -> int:
-        """Drain assembled frames into the pipeline. Returns frames fed."""
+        """Drain assembled frames into the pipeline. Returns frames fed.
+
+        Backpressure: when the engine backlog exceeds
+        ``RuntimeConfig.shed_backlog``, description is decimated — only every
+        stride-th eligible keyframe is queued, stride = ceil(backlog/limit)
+        (the deterministic equivalent of the reference's probabilistic skip
+        P=1-Δt/est_ms, src/Cerebro.cpp:193-203). Frames are always stored;
+        only descriptor work is shed.
+        """
+        backlog = int(self.engine.pending)
+        limit = self.pipeline.cfg.runtime.shed_backlog
+        stride = max(1, -(-backlog // limit)) if limit > 0 else 1
+
         frames = self.engine.drain(max_out=max_frames)
         for f in frames:
             left = self._pop_near(self._left, f["stamp_ns"])
             right = self._pop_near(self._right, f["stamp_ns"])
             if left is None:
                 continue
+            self._shed_phase += 1
             self.pipeline.ingest_frame(
                 f["stamp"],
                 left,
@@ -710,8 +762,18 @@ class StreamIngestor:
                 pose=f["pose"].astype(np.float32) if f["pose"] is not None else None,
                 right_img=right,
                 is_keyframe=f["is_keyframe"],
+                describe_eligible=(self._shed_phase % stride == 0),
             )
-        # drop stale pixels for frames the engine pruned
+        # Reclaim pixels for frames the engine will never emit (dropped at
+        # capacity under a stale stamp, or emitted with a slightly different
+        # associated stamp): anything older than both the emit horizon and
+        # the oldest still-pending frame is unreachable.
+        cutoff = min(self.engine.emit_horizon, self.engine.oldest_pending) - 1_000_000
+        for d in (self._left, self._right):
+            stale = [s for s in d if s < cutoff]
+            for s in stale:
+                del d[s]
+            self.pixels_dropped += len(stale)
         return len(frames)
 
     def _pop_near(self, d: dict, stamp_ns: int, tol_ns: int = 1_000_000):

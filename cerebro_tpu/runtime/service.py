@@ -31,9 +31,10 @@ class CerebroService:
         optimize_every_s: float = 10.0,
         hold_s: float = 0.2,
         idle_sleep_s: float = 0.01,
+        ingest_capacity: int = 4096,  # frame-queue bound; past it pushes are rejected
     ):
         self.pipeline = pipeline
-        self.ingest = StreamIngestor(pipeline, hold_s=hold_s)
+        self.ingest = StreamIngestor(pipeline, hold_s=hold_s, capacity=ingest_capacity)
         self.verify_every_s = verify_every_s
         self.optimize_every_s = optimize_every_s
         self.idle_sleep_s = idle_sleep_s
@@ -70,8 +71,10 @@ class CerebroService:
             self._worker = None
         if self._error is not None:
             raise self._error
-        # final drain on the caller's thread
-        self.ingest.pump()
+        # final drain on the caller's thread — loop until the engine is dry
+        # (a single pump caps at 256 frames; a deep backlog needs several)
+        while self.ingest.pump() > 0:
+            pass
         self.pipeline.flush_descriptors()
         if self.pipeline.rig is not None:
             self.pipeline.verify_pending()
@@ -85,6 +88,9 @@ class CerebroService:
         s = self.pipeline.status()
         s["service_running"] = self._running.is_set()
         s["ingest_pending"] = int(self.ingest.engine.pending)
+        s["ingest_dropped"] = int(self.ingest.engine.dropped)
+        s["pixels_dropped"] = self.ingest.pixels_dropped
+        s["pixel_buffers"] = len(self.ingest._left) + len(self.ingest._right)
         return s
 
     # -- worker ------------------------------------------------------------

@@ -54,15 +54,9 @@ def main():
     results = []
     n = 1
     while n <= n_dev_total:
-        if args.rows % (n * 512) == 0 or True:
+        if args.rows % n == 0:  # rows must shard evenly over the mesh
             mesh = make_mesh(n)
-            db = shard_db(
-                ddb.DescriptorDB(
-                    vectors=jnp.asarray(vecs, jnp.bfloat16),
-                    count=jnp.asarray(args.rows, jnp.int32),
-                ),
-                mesh,
-            )
+            db = shard_db(ddb.from_rows(jnp.asarray(vecs, jnp.bfloat16)), mesh)
             state = detector.init_state()
             c, s = detect_batch_sharded(cfg, db, state, q, gidx, qvalid, mesh)
             jax.block_until_ready(c.score)

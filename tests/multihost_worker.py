@@ -78,8 +78,11 @@ def main() -> int:
     queries = jax.device_put(jnp.asarray(host_q), rep)
     limits = jax.device_put(jnp.asarray(host_lim), rep)
 
+    gids = jax.device_put(
+        jnp.arange(n_rows, dtype=jnp.int32), NamedSharding(mesh, P("db"))
+    )
     mx, ar = sharded_max_and_argmax(
-        queries, db_vectors, limits, mesh, use_pallas=False
+        queries, db_vectors, limits, gids, mesh, use_pallas=False
     )
     mx, ar = np.asarray(mx), np.asarray(ar)
 
@@ -95,7 +98,7 @@ def main() -> int:
         assert ar[qi] < host_lim[qi], (qi, ar[qi])
         assert scores[qi, ar[qi]] >= ref_mx[qi] - TOL, qi
 
-    tv, ti = sharded_topk(queries, db_vectors, limits, mesh, k=k)
+    tv, ti = sharded_topk(queries, db_vectors, limits, gids, mesh, k=k)
     tv, ti = np.asarray(tv), np.asarray(ti)
     ref_tv = -np.sort(-scores, axis=1)[:, :k]
     for qi in range(q_n):

@@ -17,7 +17,10 @@ def feed(table, pairs, promote_support=4):
     b = jnp.asarray([p[1] for p in pairs], jnp.int32)
     d = jnp.asarray([p[2] for p in pairs], jnp.float32)
     v = jnp.ones((B,), bool)
-    return hyp.update(CFG, table, a, b, d, v, promote_support=promote_support)
+    t, prom, aa, bb, ss, _spawned = hyp.update(
+        CFG, table, a, b, d, v, promote_support=promote_support
+    )
+    return t, prom, aa, bb, ss
 
 
 def test_consistent_pairs_build_one_hypothesis():
@@ -51,25 +54,62 @@ def test_weak_dots_ignored():
 
 
 def test_naive_topk_method():
+    from cerebro_tpu.loop.detector import init_state
+
     # 5 consecutive queries all retrieving ~history index 40
     vals = jnp.asarray(np.tile([[0.95, 0.5, 0.4, 0.3, 0.2]], (5, 1)), jnp.float32)
     idx = jnp.asarray(
         np.stack([[40 + i, 500, 600, 700, 800] for i in range(5)]), jnp.int32
     )
     q = jnp.arange(100, 105, dtype=jnp.int32)
-    curr, prev, score, ok = naive_topk_candidates(
-        CFG, vals, idx, q, jnp.ones(5, bool)
-    )
-    assert bool(ok[2]) and bool(ok[4])
-    assert int(prev[4]) == 44
+    ones = jnp.ones(5, bool)
+    cands, _ = naive_topk_candidates(CFG, init_state(), vals, idx, q, ones, ones)
+    ok, prev = np.asarray(cands.valid), np.asarray(cands.prev_idx)
+    # warm-up: slots 0-1 have no carried triple, so they must NOT fire
+    assert not ok[0] and not ok[1]
+    assert ok[2] and ok[4]
+    assert prev[4] == 44
     # weak scores -> rejected
-    curr, prev, score, ok = naive_topk_candidates(
-        CFG, vals * 0.5, idx, q, jnp.ones(5, bool)
+    cands, _ = naive_topk_candidates(CFG, init_state(), vals * 0.5, idx, q, ones, ones)
+    assert not np.any(np.asarray(cands.valid))
+
+
+def test_naive_topk_streamed_equals_batched():
+    """Method B must produce identical detections streamed 1 query at a time
+    vs one 6-query batch (VERDICT r1 weak #2: the old roll-based version
+    pinned slots 0-1 and lost agreement across batch boundaries)."""
+    from cerebro_tpu.loop.detector import init_state
+
+    rng = np.random.default_rng(3)
+    Q = 6
+    vals = np.clip(rng.uniform(0.88, 0.97, (Q, 5)), 0, 1).astype(np.float32)
+    vals.sort(axis=1)
+    vals = vals[:, ::-1].copy()
+    # best hits drift within locality for the middle run, jump at the end
+    best = np.array([40, 42, 44, 45, 300, 47], np.int32)
+    idx = np.stack([[b, 500, 600, 700, 800] for b in best]).astype(np.int32)
+    ones1 = jnp.ones(1, bool)
+
+    batched, _ = naive_topk_candidates(
+        CFG, init_state(), jnp.asarray(vals), jnp.asarray(idx),
+        jnp.arange(100, 100 + Q, dtype=jnp.int32), jnp.ones(Q, bool), jnp.ones(Q, bool),
     )
-    assert not np.any(np.asarray(ok))
+    st = init_state()
+    streamed_valid, streamed_prev = [], []
+    for j in range(Q):
+        c, st = naive_topk_candidates(
+            CFG, st, jnp.asarray(vals[j : j + 1]), jnp.asarray(idx[j : j + 1]),
+            jnp.asarray([100 + j], jnp.int32), ones1, ones1,
+        )
+        streamed_valid.append(bool(c.valid[0]))
+        streamed_prev.append(int(c.prev_idx[0]))
+    np.testing.assert_array_equal(np.asarray(batched.valid), streamed_valid)
+    np.testing.assert_array_equal(np.asarray(batched.prev_idx), streamed_prev)
 
 
 def test_clique_topk_method():
+    from cerebro_tpu.loop.topk_methods import init_clique_state
+
     # hits cluster around history 40 with stragglers elsewhere
     vals = jnp.asarray(
         np.stack([[0.9, 0.88, 0.3, 0.2, 0.1]] * 4), jnp.float32
@@ -78,9 +118,54 @@ def test_clique_topk_method():
         np.stack([[40 + i, 41 + i, 900, 500, 700] for i in range(4)]), jnp.int32
     )
     q = jnp.arange(200, 204, dtype=jnp.int32)
-    curr, prev, score, ok = clique_topk_candidates(
-        CFG, vals, idx, q, jnp.ones(4, bool), n_cliques=1
+    curr, prev, score, ok, _ = clique_topk_candidates(
+        CFG, init_clique_state(5), vals, idx, q, jnp.ones(4, bool), n_cliques=1
     )
     assert bool(ok[0])
     assert abs(int(prev[0]) - 42) <= CFG.hypothesis_locality
     assert int(curr[0]) == 203
+
+
+def test_clique_carry_spans_batch_boundary():
+    """A clique whose support is split across two batches must still fire:
+    the carry holds the last W-1 queries' hits."""
+    from cerebro_tpu.loop.topk_methods import init_clique_state
+
+    # batch 1: two hits near 40 (not enough alone to beat stragglers)
+    vals1 = jnp.asarray([[0.9, 0.3, 0.2, 0.1, 0.05]] * 2, jnp.float32)
+    idx1 = jnp.asarray([[40, 900, 500, 700, 300], [41, 901, 501, 701, 301]], jnp.int32)
+    st = init_clique_state(5)
+    *_, st = clique_topk_candidates(
+        CFG, st, vals1, idx1, jnp.asarray([200, 201], jnp.int32), jnp.ones(2, bool)
+    )
+    # batch 2: two more hits near 40
+    vals2 = jnp.asarray([[0.9, 0.3, 0.2, 0.1, 0.05]] * 2, jnp.float32)
+    idx2 = jnp.asarray([[42, 902, 502, 702, 302], [43, 903, 503, 703, 303]], jnp.int32)
+    curr, prev, score, ok, st = clique_topk_candidates(
+        CFG, st, vals2, idx2, jnp.asarray([202, 203], jnp.int32), jnp.ones(2, bool)
+    )
+    assert bool(ok[0])
+    # the clique center must sit in the 40-43 run, supported by BOTH batches
+    assert 40 <= int(prev[0]) <= 43
+
+
+def test_hypothesis_slot_reuse_reports_spawn():
+    """When a dead hypothesis' slot is recycled, update() must flag the slot
+    as spawned so per-slot latches (pipeline emitted-mask) reset
+    (VERDICT r1 weak #3)."""
+    t = hyp.create_table(2)  # tiny table forces slot recycling
+    # fill both slots
+    a = jnp.asarray([100, 100], jnp.int32)
+    b = jnp.asarray([10, 400], jnp.int32)
+    d = jnp.asarray([0.9, 0.9], jnp.float32)
+    v = jnp.ones(2, bool)
+    t, _, _, _, _, spawned = hyp.update(CFG, t, a, b, d, v, promote_support=99)
+    assert np.asarray(spawned).sum() == 2
+    # a third, far-away pair must recycle a slot and report the spawn
+    t, _, _, _, _, spawned2 = hyp.update(
+        CFG, t,
+        jnp.asarray([200], jnp.int32), jnp.asarray([800], jnp.int32),
+        jnp.asarray([0.9], jnp.float32), jnp.ones(1, bool),
+        promote_support=99,
+    )
+    assert np.asarray(spawned2).sum() == 1

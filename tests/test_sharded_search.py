@@ -23,12 +23,22 @@ D = 256
 N = 4096  # 512 rows per device on 8 devices
 
 
+def _make_db(vecs, n_valid):
+    """Pre-wrap ring DB: rows are their own global ids up to n_valid."""
+    n = vecs.shape[0]
+    gids = np.where(np.arange(n) < n_valid, np.arange(n), int(ddb.GID_INVALID))
+    return ddb.DescriptorDB(
+        vectors=jnp.asarray(vecs),
+        global_ids=jnp.asarray(gids, jnp.int32),
+        count=jnp.asarray(n_valid, jnp.int32),
+        total=jnp.asarray(n_valid, jnp.int32),
+    )
+
+
 def _setup(rng, n_valid=3000):
     vecs = rng.normal(size=(N, D)).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
-    db = ddb.DescriptorDB(
-        vectors=jnp.asarray(vecs), count=jnp.asarray(n_valid, jnp.int32)
-    )
+    db = _make_db(vecs, n_valid)
     q = rng.normal(size=(8, D)).astype(np.float32)
     q /= np.linalg.norm(q, axis=-1, keepdims=True)
     return db, jnp.asarray(q)
@@ -40,9 +50,11 @@ def test_sharded_argmax_matches_single_device(rng):
     db, q = _setup(rng)
     limits = jnp.asarray([0, 100, 511, 512, 513, 1024, 2999, 3000], jnp.int32)
 
-    mx_ref, ar_ref = similarity.max_and_argmax(q, db.vectors, limits, use_pallas=False)
+    mx_ref, ar_ref = similarity.max_and_argmax(
+        q, db.vectors, limits, db.global_ids, use_pallas=False
+    )
     sdb = shard_db(db, mesh)
-    mx, ar = sharded_max_and_argmax(q, sdb.vectors, limits, mesh)
+    mx, ar = sharded_max_and_argmax(q, sdb.vectors, limits, sdb.global_ids, mesh)
 
     np.testing.assert_array_equal(np.asarray(ar)[1:], np.asarray(ar_ref)[1:])
     np.testing.assert_allclose(np.asarray(mx)[1:], np.asarray(mx_ref)[1:], rtol=1e-5)
@@ -53,9 +65,9 @@ def test_sharded_topk_matches_single_device(rng):
     mesh = make_mesh()
     db, q = _setup(rng)
     limits = jnp.full((8,), 3000, jnp.int32)
-    v_ref, i_ref = similarity.search_topk(q, db.vectors, limits, k=5)
+    v_ref, i_ref = similarity.search_topk(q, db.vectors, limits, db.global_ids, k=5)
     sdb = shard_db(db, mesh)
-    v, i = sharded_topk(q, sdb.vectors, limits, mesh, k=5)
+    v, i = sharded_topk(q, sdb.vectors, limits, sdb.global_ids, mesh, k=5)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-5)
 
@@ -68,7 +80,7 @@ def test_detect_batch_sharded_matches_single(rng):
     vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
     for i in range(4):
         vecs[120 + i] = vecs[10 + i]
-    db = ddb.DescriptorDB(vectors=jnp.asarray(vecs), count=jnp.asarray(124, jnp.int32))
+    db = _make_db(vecs, 124)
     q = jnp.asarray(vecs[120:124])
     gidx = jnp.arange(120, 124, dtype=jnp.int32)
     qvalid = jnp.ones((4,), bool)
@@ -128,3 +140,28 @@ def test_streaming_topk_matches_dense(rng):
         np.testing.assert_allclose(
             np.asarray(v[qi, :kk]), np.asarray(v_ref[qi, :kk]), rtol=1e-5
         )
+
+
+def test_sharded_search_on_wrapped_ring(rng):
+    """After the ring wraps, the sharded path must still agree with the
+    single-device path and return GLOBAL ids."""
+    mesh = make_mesh()
+    cap = 1024
+    vecs = rng.normal(size=(1536, D)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+    db = ddb.create(cap, D, dtype=jnp.float32)
+    for i in range(0, 1536, 128):
+        db = ddb.append(db, jnp.asarray(vecs[i : i + 128]), jnp.asarray(128))
+    assert int(db.total) == 1536  # wrapped: oldest 512 evicted
+
+    # queries equal to entries 600 and 1400 (both survive the wrap)
+    q = jnp.asarray(vecs[[600, 1400]])
+    limits = jnp.asarray([1536, 1536], jnp.int32)
+    mx_ref, ar_ref = similarity.max_and_argmax(
+        q, db.vectors, limits, db.global_ids, use_pallas=False
+    )
+    sdb = shard_db(db, mesh)
+    mx, ar = sharded_max_and_argmax(q, sdb.vectors, limits, sdb.global_ids, mesh)
+    np.testing.assert_array_equal(np.asarray(ar), np.asarray(ar_ref))
+    np.testing.assert_allclose(np.asarray(mx), np.asarray(mx_ref), rtol=1e-5)
+    assert int(ar[0]) == 600 and int(ar[1]) == 1400
