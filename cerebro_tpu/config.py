@@ -128,6 +128,12 @@ class VerifyConfig:
     # GMS support threshold factor (ref GMSMatcher THRESH_FACTOR=6,
     # src/utils/GMSMatcher/gms_matcher.h). Lower = more permissive.
     gms_factor: float = 6.0
+    # Rotation-invariant matching: steer descriptor patches into each
+    # keypoint's dominant-orientation frame (ORB is rotation-invariant by
+    # construction, ref src/utils/PointFeatureMatching.cpp:21, and GMS runs
+    # 8 rotation patterns, ref gms_matcher.h:9-46 — a rolled revisit must
+    # still verify). Default ON for parity.
+    oriented_matching: bool = True
     # Depth validity range in metres (ref src/utils/PointFeatureMatching.cpp:125).
     min_depth: float = 0.1
     max_depth: float = 25.0

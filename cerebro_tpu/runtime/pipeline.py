@@ -667,6 +667,7 @@ class CerebroPipeline:
                 jnp.asarray(lb, jnp.float32),
                 max_kp=self.cfg.verify.max_features,
                 gms_factor=self.cfg.verify.gms_factor,
+                oriented=self.cfg.verify.oriented_matching,
             )
             img = side_by_side_matches(
                 la, lb,

@@ -119,7 +119,8 @@ def _verify_from_points(
 ) -> VerifiedLoop:
     # --- point matches between the two left images (ref :1484-1493) ---
     m = features.match_image_pair(
-        left_a, left_b, max_kp=cfg.max_features, gms_factor=cfg.gms_factor
+        left_a, left_b, max_kp=cfg.max_features, gms_factor=cfg.gms_factor,
+        oriented=cfg.oriented_matching,
     )
     n_matches = m.count()
     attempt = n_matches >= cfg.min_matches_attempt

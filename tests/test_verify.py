@@ -132,3 +132,38 @@ def test_verify_pair_identity_pose(rng):
     assert bool(res.consistent)
     ang, trans = se3.pose_delta_metrics(jnp.eye(4), res.T_b_a)
     assert float(ang) < 0.5 and float(trans) < 0.05
+
+
+def test_verify_pair_rolled_revisit(rng):
+    """A revisit with significant roll about the optical axis must still
+    verify: the reference's ORB is rotation-invariant by construction
+    (src/utils/PointFeatureMatching.cpp:21) and its GMS sweeps 8 rotation
+    patterns (gms_matcher.h:9-46). Oriented (ORB-steered) descriptors are
+    the default; upright-only matching demonstrably fails here."""
+    tex = big_texture(rng)
+    Ta = np.eye(4, dtype=np.float32)
+    roll = np.deg2rad(45.0)  # in-plane rotation about the +z optical axis
+    Tb = np.asarray(
+        se3.make_pose(
+            se3.ypr_to_rot(jnp.asarray([roll, 0.0, 0.0], jnp.float32)),
+            jnp.asarray([0.15, 0.05, 0.1]),
+        )
+    ).astype(np.float32)
+    la, ra = stereo_pair(tex, Ta)
+    lb, rb = stereo_pair(tex, Tb)
+
+    res = verify_pair(CFG, jax.random.PRNGKey(2), la, ra, lb, rb, make_rig())
+    n = int(res.n_matches)
+    assert n >= CFG.min_matches_attempt, f"only {n} matches under 45 deg roll"
+    assert bool(res.option_success[0]) and bool(res.consistent), (
+        f"conf={np.asarray(res.confidences)} success={np.asarray(res.option_success)}"
+    )
+    T_gt = np.linalg.inv(Tb) @ Ta
+    ang, trans = se3.pose_delta_metrics(jnp.asarray(T_gt), res.T_b_a)
+    assert float(ang) < 2.0, f"angle err {float(ang)} deg"
+    assert float(trans) < 0.1, f"trans err {float(trans)} m"
+
+    # upright-only matching collapses on the same pair (the r1 gap)
+    upright = dataclasses.replace(CFG, oriented_matching=False)
+    res_up = verify_pair(upright, jax.random.PRNGKey(2), la, ra, lb, rb, make_rig())
+    assert not bool(res_up.accepted)
