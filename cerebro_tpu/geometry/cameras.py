@@ -150,6 +150,18 @@ def from_yaml_dict(d: Dict) -> CameraParams:
             (di.get("k1", 0.0), di.get("k2", 0.0), di.get("p1", 0.0), di.get("p2", 0.0)),
             w, h,
         )
+    if model == "SCARAMUZZA":
+        # OCamCalib format (ref ScaramuzzaCamera.cc:64-104): cam2world poly
+        # p0..p4 (p1 == 0 by construction), affine {ac, ad, ae, cx, cy}; the
+        # e term (ae) is not representable here and must be ~0.
+        pp = d["poly_parameters"]
+        ap = d["affine_parameters"]
+        return make_scaramuzza(
+            ap.get("ac", 1.0), ap["cx"], ap["cy"],
+            (pp.get("p0", 0.0), pp.get("p2", 0.0), pp.get("p3", 0.0), pp.get("p4", 0.0)),
+            d_affine=ap.get("ad", 0.0),
+            width=w, height=h,
+        )
     raise ValueError(f"unknown camera model {model!r}")
 
 

@@ -32,6 +32,13 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--save-state", default=None, help="teach: save map here")
     ap.add_argument("--load-state", default=None, help="repeat: load map from here")
+    ap.add_argument(
+        "--config",
+        default=os.path.join(
+            os.path.dirname(__file__), "..", "configs", "euroc", "euroc_stereo_config.yaml"
+        ),
+        help="opencv-yaml rig config (VINS-Fusion format, ref config/vinsfusion/**)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -50,33 +57,19 @@ def main():
     from cerebro_tpu.runtime import CerebroPipeline
     from cerebro_tpu.utils.plot import trajectory_topdown
 
-    # EuRoC cam0/cam1 intrinsics + extrinsics (the values in the reference's
-    # config/vinsfusion/euroc yamls)
-    cam0 = cameras.make_pinhole(
-        458.654, 457.296, 367.215, 248.375,
-        (-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05),
-        width=752, height=480,
+    # Rig from the opencv-yaml config front-end (the reference boots from
+    # the same format: cam yamls + extrinsic, src/cerebro_node.cpp:105-373)
+    from cerebro_tpu.io.rig_config import load_rig_config
+
+    spec = load_rig_config(args.config)
+    assert spec.cam1 is not None and spec.c1_T_c0 is not None, "stereo rig required"
+    rect = stereo.StereoRectifier(
+        spec.cam0, spec.cam1, spec.c1_T_c0.astype(np.float32), out_hw=spec.image_hw
     )
-    cam1 = cameras.make_pinhole(
-        457.587, 456.134, 379.999, 255.238,
-        (-0.28368365, 0.07451284, -0.00010473, -3.55590700e-05),
-        width=752, height=480,
-    )
-    # cam1_T_cam0 from the EuRoC sensor yamls (body_T_cam products)
-    c1_T_c0 = np.array(
-        [
-            [0.999997, 0.002312, -0.000760, -0.110074],
-            [-0.002317, 0.999898, -0.014090, 0.000399],
-            [0.000727, 0.014091, 0.999900, -0.000853],
-            [0.0, 0.0, 0.0, 1.0],
-        ],
-        np.float32,
-    )
-    rect = stereo.StereoRectifier(cam0, cam1, c1_T_c0, out_hw=(480, 752))
     rig = rect.rig
 
     cfg = CerebroConfig(
-        descriptor=DescriptorConfig(image_hw=(480, 752), kind=args.descriptor)
+        descriptor=DescriptorConfig(image_hw=spec.image_hw, kind=args.descriptor)
     )
     seq = EurocSequence(args.mav0)
     print(f"sequence: {len(seq)} cam0 frames", flush=True)
@@ -86,28 +79,24 @@ def main():
     else:
         pipe = CerebroPipeline(cfg, rig=rig)
 
-    class RectifiedFrames:
-        """Wrap loader frames: undistort+rectify before the pipeline (the
-        raw EuRoC images are distorted; verification assumes the rig)."""
+    class _RectFrame:
+        """Loader frame undistorted+rectified into the verification rig."""
 
-        def __init__(self, frames):
-            self._frames = frames
+        __slots__ = ("stamp", "pose", "_l", "_r")
 
-        def __iter__(self):
-            for f in self._frames:
-                left, right = rect.rectify(f.left(), f.right())
+        def __init__(self, stamp, pose, l, r):
+            self.stamp, self.pose, self._l, self._r = stamp, pose, l, r
 
-                class _F:
-                    stamp = f.stamp
-                    pose = f.pose
+        def left(self):
+            return self._l
 
-                    def left(self_inner):
-                        return left
+        def right(self):
+            return self._r
 
-                    def right(self_inner):
-                        return right
-
-                yield _F()
+    def RectifiedFrames(frames):
+        for f in frames:
+            left, right = rect.rectify(f.left(), f.right())
+            yield _RectFrame(f.stamp, f.pose, left, right)
 
     report = run_sequence(
         pipe, RectifiedFrames(seq.frames(stride=args.stride)), max_frames=args.max_frames
