@@ -68,7 +68,18 @@ def run_sequence(
     n_tracked_default: int = 100,
     verify: bool = True,
     max_frames: Optional[int] = None,
+    trace_dir: Optional[str] = None,  # emit a jax.profiler device trace here
 ) -> RunReport:
+    if trace_dir is not None:
+        # per-run device trace (SURVEY §5.1: the reference's pervasive
+        # ElapsedTime tic/toc becomes host StageTimer + an XLA device trace)
+        from cerebro_tpu.utils.timing import device_trace
+
+        with device_trace(trace_dir):
+            report = run_sequence(
+                pipe, frames, n_tracked_default, verify, max_frames, None
+            )
+        return report
     timer = StageTimer()
     n = 0
     t0 = time.perf_counter()

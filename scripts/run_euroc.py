@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--save-state", default=None, help="teach: save map here")
     ap.add_argument("--load-state", default=None, help="repeat: load map from here")
     ap.add_argument(
+        "--trace", default=None, help="emit a jax.profiler device trace to this dir"
+    )
+    ap.add_argument(
         "--config",
         default=os.path.join(
             os.path.dirname(__file__), "..", "configs", "euroc", "euroc_stereo_config.yaml"
@@ -99,7 +102,10 @@ def main():
             yield _RectFrame(f.stamp, f.pose, left, right)
 
     report = run_sequence(
-        pipe, RectifiedFrames(seq.frames(stride=args.stride)), max_frames=args.max_frames
+        pipe,
+        RectifiedFrames(seq.frames(stride=args.stride)),
+        max_frames=args.max_frames,
+        trace_dir=args.trace,
     )
 
     os.makedirs(args.out, exist_ok=True)

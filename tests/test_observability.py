@@ -50,3 +50,41 @@ def test_trajectory_topdown_renders():
     img = trajectory_topdown(poses, world_id=world, loop_pairs=[(0, 49)])
     assert img.shape == (480, 480, 3)
     assert img.std() > 0
+
+
+def test_run_sequence_emits_device_trace(tmp_path):
+    """run_sequence(trace_dir=...) captures a jax.profiler device trace
+    (SURVEY §5.1 parity: per-run tracing, VERDICT r1 #10)."""
+    import dataclasses
+
+    from cerebro_tpu.config import CerebroConfig, DescriptorConfig, RuntimeConfig
+    from cerebro_tpu.eval import run_sequence
+    from cerebro_tpu.runtime import CerebroPipeline
+
+    cfg = CerebroConfig(
+        descriptor=DescriptorConfig(image_hw=(32, 32), kind="gist"),
+        runtime=RuntimeConfig(descriptor_batch=4, stash_dir=str(tmp_path / "stash")),
+    )
+    pipe = CerebroPipeline(cfg)
+    rng = np.random.default_rng(0)
+
+    class _F:
+        def __init__(self, i):
+            self.stamp = 1.0 + i
+            self.pose = None
+            self._img = rng.integers(0, 255, (32, 32), np.uint8)
+
+        def left(self):
+            return self._img
+
+        def right(self):
+            return None
+
+    trace_dir = str(tmp_path / "trace")
+    report = run_sequence(pipe, [_F(i) for i in range(6)], trace_dir=trace_dir)
+    assert report.n_frames == 6
+    import glob
+    traces = glob.glob(trace_dir + "/**/*.trace*", recursive=True) + glob.glob(
+        trace_dir + "/**/*.xplane*", recursive=True
+    )
+    assert traces, f"no trace artifacts under {trace_dir}"
