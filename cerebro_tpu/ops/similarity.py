@@ -46,6 +46,16 @@ NEG_INF = -1e30
 TILE_N = 512
 
 
+def tile_n_for(dim: int) -> int:
+    """History-tile rows for a given descriptor dim: keep the double-buffered
+    bf16 DB tile within the ~16 MB scoped-VMEM budget (tile*D*2 B <= 4 MB).
+    512 up to D=4096 (the default); 256 at the ported net's D=8192."""
+    t = TILE_N
+    while t > 128 and t * dim * 2 > 4 * 1024 * 1024:
+        t //= 2
+    return t
+
+
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
@@ -103,13 +113,13 @@ def _score_argmax_kernel(
         preferred_element_type=jnp.float32,
     )  # (Q, TILE_N)
 
-    q_n = s.shape[0]
-    gid = jnp.broadcast_to(gid_ref[:], (q_n, TILE_N))  # (Q, TILE_N)
+    q_n, tile_n = s.shape  # tile size is the block shape, not the global
+    gid = jnp.broadcast_to(gid_ref[:], (q_n, tile_n))  # (Q, TILE)
     s = jnp.where(gid < lim_ref[:], s, NEG_INF)
 
     tile_max = jnp.max(s, axis=1, keepdims=True)  # (Q, 1)
     am = jnp.argmax(s, axis=1)  # (Q,) local row in tile
-    col = jax.lax.broadcasted_iota(jnp.int32, (q_n, TILE_N), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_n, tile_n), 1)
     onehot = col == am[:, None]
     tile_arg = jnp.sum(jnp.where(onehot, gid, 0), axis=1, keepdims=True)  # (Q,1) gid
 
@@ -142,8 +152,9 @@ def max_and_argmax(
         am = jnp.argmax(s, axis=1)
         return jnp.max(s, axis=1), g[am]
 
-    assert N % TILE_N == 0, f"DB rows {N} must be a multiple of {TILE_N}"
-    grid = (N // TILE_N,)
+    tile = tile_n_for(D)
+    assert N % tile == 0, f"DB rows {N} must be a multiple of {tile} (D={D})"
+    grid = (N // tile,)
     qf = queries.astype(jnp.bfloat16)
     dbf = db.astype(jnp.bfloat16)
     lim = limits.astype(jnp.int32).reshape(Q, 1)
@@ -153,9 +164,9 @@ def max_and_argmax(
         grid=grid,
         in_specs=[
             pl.BlockSpec((Q, D), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, D), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, D), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((Q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -259,16 +270,16 @@ def _score_argmax_banned_kernel(
         db_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (Q, TILE_N)
-    q_n = s.shape[0]
-    gid = jnp.broadcast_to(gid_ref[:], (q_n, TILE_N))
+    )  # (Q, TILE)
+    q_n, tile_n = s.shape
+    gid = jnp.broadcast_to(gid_ref[:], (q_n, tile_n))
     s = jnp.where(gid < lim_ref[:], s, NEG_INF)
     banned = jnp.any(gid[:, :, None] == ban_ref[:][:, None, :], axis=-1)
     s = jnp.where(banned, NEG_INF, s)
 
     tile_max = jnp.max(s, axis=1, keepdims=True)
     am = jnp.argmax(s, axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (q_n, TILE_N), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_n, tile_n), 1)
     onehot = col == am[:, None]
     tile_arg = jnp.sum(jnp.where(onehot, gid, 0), axis=1, keepdims=True)
     better = tile_max > scratch_max[:]
@@ -293,16 +304,17 @@ def _max_and_argmax_banned(queries, db, limits, gids, banned, use_pallas: bool):
         am = jnp.argmax(s, axis=1)
         return jnp.max(s, axis=1), g[am]
 
-    assert N % TILE_N == 0
-    grid = (N // TILE_N,)
+    tile = tile_n_for(D)
+    assert N % tile == 0, f"DB rows {N} must be a multiple of {tile} (D={D})"
+    grid = (N // tile,)
     mx, ar = pl.pallas_call(
         _score_argmax_banned_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((Q, D), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, D), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, D), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (Q, banned.shape[1]), lambda t: (0, 0), memory_space=pltpu.VMEM
             ),

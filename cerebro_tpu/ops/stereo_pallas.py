@@ -65,17 +65,20 @@ def _make_kernel(H: int, W: int, num_disp: int, block: int, uniqueness: float,
     assert W % 128 == 0
 
     def kernel(left_hbm, right_hbm, disp_ref, valid_ref, lv, rv, od, ov, sem):
-        t = pl.program_id(0)
+        # grid = (B, H // TILE_H): batch-major so vmapped verification runs
+        # as ONE kernel (a vmapped ANY-space pallas_call cannot lower)
+        b = pl.program_id(0)
+        t = pl.program_id(1)
         row0 = t * TILE_H
         src0 = jnp.clip(row0 - 16, 0, H - TIN)
         src0 = pl.multiple_of(src0, 8)
         off = pl.multiple_of(row0 - src0, 8)  # output-row start inside tile
 
         cp_l = pltpu.make_async_copy(
-            left_hbm.at[pl.ds(src0, TIN), :], lv, sem.at[0]
+            left_hbm.at[b, pl.ds(src0, TIN), :], lv, sem.at[0]
         )
         cp_r = pltpu.make_async_copy(
-            right_hbm.at[pl.ds(src0, TIN), :], rv, sem.at[1]
+            right_hbm.at[b, pl.ds(src0, TIN), :], rv, sem.at[1]
         )
         cp_l.start()
         cp_r.start()
@@ -145,36 +148,32 @@ def _make_kernel(H: int, W: int, num_disp: int, block: int, uniqueness: float,
         # then read the 8-aligned output row window back out.
         od[:] = disp
         ov[:] = valid.astype(jnp.float32)
-        disp_ref[:] = od[pl.ds(off, TILE_H), :]
-        valid_ref[:] = ov[pl.ds(off, TILE_H), :].astype(jnp.int32)
+        disp_ref[:] = od[pl.ds(off, TILE_H), :][None]
+        valid_ref[:] = ov[pl.ds(off, TILE_H), :][None].astype(jnp.int32)
 
     return kernel, TIN
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_disp", "block", "uniqueness", "texture_thresh")
-)
-def block_match_pallas(
-    left: jax.Array,  # (H, W) float32 rectified, H % TILE_H == 0
+def _block_match_batched(
+    left: jax.Array,  # (B, H, W) float32 rectified, H % TILE_H == 0
     right: jax.Array,
-    num_disp: int = 64,
-    block: int = 21,
-    uniqueness: float = 0.85,
-    texture_thresh: float = 0.5,
+    num_disp: int,
+    block: int,
+    uniqueness: float,
+    texture_thresh: float,
 ):
-    H, W0 = left.shape
+    B, H, W0 = left.shape
     assert H % TILE_H == 0, f"H={H} must be a multiple of {TILE_H}"
     # pad width to the lane multiple (manual DMA alignment); pad columns
     # carry zeros and are invalidated below
     W = ((W0 + 127) // 128) * 128
     if W != W0:
-        pad = ((0, 0), (0, W - W0))
+        pad = ((0, 0), (0, 0), (0, W - W0))
         left = jnp.pad(left, pad)
         right = jnp.pad(right, pad)
-    h = block // 2
     kernel, TIN = _make_kernel(H, W, num_disp, block, uniqueness, texture_thresh)
     assert H % 16 == 0 and H >= TIN
-    grid = (H // TILE_H,)
+    grid = (B, H // TILE_H)
     interpret = jax.default_backend() == "cpu"
 
     disp, valid = pl.pallas_call(
@@ -185,12 +184,12 @@ def block_match_pallas(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_H, W), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, W), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, W), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, W), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((H, W), jnp.float32),
-            jax.ShapeDtypeStruct((H, W), jnp.int32),
+            jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, W), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((TIN, W), jnp.float32),
@@ -201,9 +200,52 @@ def block_match_pallas(
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * num_disp * H * W * 8,
-            bytes_accessed=H * W * 4 * 4,
+            flops=2 * num_disp * B * H * W * 8,
+            bytes_accessed=B * H * W * 4 * 4,
             transcendentals=0,
         ),
     )(left.astype(jnp.float32), right.astype(jnp.float32))
-    return disp[:, :W0], valid[:, :W0].astype(bool)
+    return disp[:, :, :W0], valid[:, :, :W0].astype(bool)
+
+
+@functools.lru_cache(maxsize=None)
+def _block_match_vmappable(num_disp, block, uniqueness, texture_thresh):
+    """custom_vmap wrapper: vmapping this function dispatches to the
+    batch-grid kernel instead of (unlowerable) per-example pallas calls."""
+
+    @jax.custom_batching.custom_vmap
+    def bm(left, right):
+        d, v = _block_match_batched(
+            left[None], right[None], num_disp, block, uniqueness, texture_thresh
+        )
+        return d[0], v[0]
+
+    @bm.def_vmap
+    def _rule(axis_size, in_batched, left, right):
+        lb, rb = in_batched
+        if not lb:
+            left = jnp.broadcast_to(left, (axis_size,) + left.shape)
+        if not rb:
+            right = jnp.broadcast_to(right, (axis_size,) + right.shape)
+        out = _block_match_batched(
+            left, right, num_disp, block, uniqueness, texture_thresh
+        )
+        return out, (True, True)
+
+    return bm
+
+
+def block_match_pallas(
+    left: jax.Array,  # (H, W) or (B, H, W) float32 rectified, H % TILE_H == 0
+    right: jax.Array,
+    num_disp: int = 64,
+    block: int = 21,
+    uniqueness: float = 0.85,
+    texture_thresh: float = 0.5,
+):
+    fn = _block_match_vmappable(num_disp, block, uniqueness, texture_thresh)
+    if left.ndim == 3:
+        return _block_match_batched(
+            left, right, num_disp, block, uniqueness, texture_thresh
+        )
+    return fn(left, right)

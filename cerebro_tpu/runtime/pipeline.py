@@ -104,10 +104,17 @@ class CerebroPipeline:
         describe_fn=None,  # optional override: (B,H,W,C) uint8 -> (B,D)
         mesh=None,  # jax.sharding.Mesh: shard the DB + search over devices
         seed: int = 0,
+        body_T_cam: Optional[np.ndarray] = None,  # camera mount on the body/IMU
     ):
         self.cfg = cfg or CerebroConfig()
         self.rig = rig
         self.mesh = mesh
+        # Camera mount: poses arrive as w_T_cam but the 4-DOF pose graph
+        # reasons in a gravity-aligned body frame (the reference's external
+        # solver likewise consumes imu_T_cam, README.md:176-194 +
+        # cerebro_node's /vins_estimator/extrinsic subscription,
+        # src/cerebro_node.cpp:381). None = camera == body (forward, level).
+        self.body_T_cam = None if body_T_cam is None else np.asarray(body_T_cam, np.float32)
         self.store = KeyframeStore()
         self.images = ImageStore(
             stash_dir=self.cfg.runtime.stash_dir,
@@ -548,7 +555,12 @@ class CerebroPipeline:
         if len(kf) < 2:
             return None
         idx_of = {int(s): i for i, s in enumerate(kf)}
-        T = self.store.poses[kf]
+        T = self.store.poses[kf]  # w_T_cam
+        if self.body_T_cam is not None:
+            # graph state lives in the gravity-aligned body frame:
+            # w_T_body = w_T_cam @ cam_T_body
+            c_T_b = np.linalg.inv(self.body_T_cam)
+            T = T @ c_T_b[None]
         world = self.store.world_id[kf]
 
         x0 = np.zeros((len(kf), 4), np.float32)
@@ -571,13 +583,11 @@ class CerebroPipeline:
                 continue
             li.append(idx_of[e.idx_prev])
             lj.append(idx_of[e.idx_curr])
-            lm.append(
-                np.asarray(
-                    relative_yaw_t(
-                        jnp.eye(4), jnp.asarray(e.T_prev_curr.astype(np.float32))
-                    )
-                )
-            )
+            T_rel = e.T_prev_curr.astype(np.float32)  # cam_prev_T_cam_curr
+            if self.body_T_cam is not None:
+                # conjugate the camera-frame loop edge into the body frame
+                T_rel = self.body_T_cam @ T_rel @ np.linalg.inv(self.body_T_cam)
+            lm.append(np.asarray(relative_yaw_t(jnp.eye(4), jnp.asarray(T_rel))))
             lv.append(True)
         if not li:
             li, lj, lm, lv = [0], [0], [np.zeros(4, np.float32)], [False]
@@ -598,7 +608,10 @@ class CerebroPipeline:
             loop_valid=jnp.asarray(lv),
         )
         x_opt, switches, _ = optimize(graph, self.cfg.posegraph)
-        return np.asarray(poses_from_xyzyaw(x_opt))
+        out = np.asarray(poses_from_xyzyaw(x_opt))  # w_T_body
+        if self.body_T_cam is not None:
+            out = out @ self.body_T_cam[None]  # back to w_T_cam convention
+        return out
 
     # ------------------------------------------------------------------
     # Observability (JSON exports, §5.5 parity)

@@ -25,6 +25,8 @@ def main() -> int:
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--devices-per-process", type=int, default=4)
+    ap.add_argument("--save-db", default=None, help="save a sharded DB here and exit")
+    ap.add_argument("--load-db", default=None, help="restore a sharded DB from here and exit")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -55,6 +57,62 @@ def main() -> int:
 
     mesh = global_mesh()
     n_dev = info["global_devices"]
+
+    if args.save_db or args.load_db:
+        # Sharded-DB checkpoint across a PROCESS-COUNT change: one job saves
+        # with its mesh, a differently-sized job restores with its own —
+        # orbax/TensorStore reshards on load (SURVEY §5.4 multi-host parity).
+        import numpy as np
+        import jax.numpy as jnp
+        import orbax.checkpoint as ocp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cerebro_tpu.db import descriptors as ddb
+        from cerebro_tpu.parallel.sharded_search import shard_db, sharded_topk
+
+        dim, n_rows = 64, 256
+        rng = np.random.default_rng(21)
+        host = rng.standard_normal((n_rows, dim)).astype(np.float32)
+        host /= np.linalg.norm(host, axis=-1, keepdims=True)
+        db = shard_db(ddb.from_rows(jnp.asarray(host)), mesh)
+        tree = {
+            "vectors": db.vectors,
+            "global_ids": db.global_ids,
+            "count": db.count,
+            "total": db.total,
+        }
+        ckpt = ocp.StandardCheckpointer()
+        if args.save_db:
+            ckpt.save(args.save_db, tree, force=True)
+            ckpt.wait_until_finished()
+            print(f"process {args.process_id}: db saved", flush=True)
+            return 0
+        # load path: restore INTO this (different) topology
+        sh = NamedSharding(mesh, P("db", None))
+        sh1 = NamedSharding(mesh, P("db"))
+        rep = NamedSharding(mesh, P())
+        target = {
+            "vectors": jax.ShapeDtypeStruct((n_rows, dim), jnp.float32, sharding=sh),
+            "global_ids": jax.ShapeDtypeStruct((n_rows,), jnp.int32, sharding=sh1),
+            "count": jax.ShapeDtypeStruct((), jnp.int32, sharding=rep),
+            "total": jax.ShapeDtypeStruct((), jnp.int32, sharding=rep),
+        }
+        restored = ckpt.restore(args.load_db, target)
+        assert int(restored["total"]) == n_rows
+        # every process checks its addressable shards against the host copy
+        for s in restored["vectors"].addressable_shards:
+            np.testing.assert_allclose(
+                np.asarray(s.data), host[s.index], rtol=0, atol=0
+            )
+        # and the restored DB searches correctly on the NEW topology
+        q = jax.device_put(jnp.asarray(host[100:104]), rep)
+        lim = jax.device_put(jnp.full((4,), n_rows, jnp.int32), rep)
+        tv, ti = sharded_topk(
+            q, restored["vectors"], lim, restored["global_ids"], mesh, k=1
+        )
+        assert np.array_equal(np.asarray(ti)[:, 0], np.arange(100, 104)), ti
+        print(f"process {args.process_id}: db restored + searched ok", flush=True)
+        return 0
 
     # Deterministic global DB — every process derives the same host copy,
     # but only its addressable shards are materialized on device.

@@ -51,3 +51,25 @@ def test_pallas_two_planes(rng):
     bot = dd[h // 2 + 8 :][v[h // 2 + 8 :]]
     assert abs(np.median(top) - d1) < 0.5
     assert abs(np.median(bot) - d2) < 0.5
+
+
+def test_block_match_vmap_matches_loop(rng):
+    """vmap(block_match_pallas) dispatches to the batch-grid kernel (a
+    vmapped ANY-space pallas call cannot lower on TPU) and must equal the
+    per-example results."""
+    import jax
+
+    def synth_pair(r, d_true):
+        base = textured(r, 96, 256 + d_true)
+        return jnp.asarray(base[:, :-d_true]), jnp.asarray(base[:, d_true:])
+
+    pairs = [synth_pair(np.random.default_rng(s), 8 + 2 * s) for s in (0, 1, 2)]
+    L = jnp.stack([p[0] for p in pairs])
+    R = jnp.stack([p[1] for p in pairs])
+    vd, vv = jax.vmap(
+        lambda l, r: block_match_pallas(l, r, num_disp=32, block=11)
+    )(L, R)
+    for k in range(3):
+        d, v = block_match_pallas(L[k], R[k], num_disp=32, block=11)
+        np.testing.assert_allclose(np.asarray(vd[k]), np.asarray(d), rtol=0, atol=0)
+        np.testing.assert_array_equal(np.asarray(vv[k]), np.asarray(v))
