@@ -83,23 +83,45 @@ def tpu_pairs_per_s(n_rows: int, dim: int, batch: int, reps: int, force_cpu: boo
     qprobe = jnp.asarray(
         np.concatenate([probe, np.zeros((batch - len(plant), dim), np.float32)])
     )
-    _, ar = similarity.max_and_argmax(
-        qprobe, db.vectors, jnp.full((batch,), n_rows, jnp.int32)
-    )
-    found = np.asarray(ar)[: len(plant)].tolist()
-    if found != plant:
-        raise RuntimeError(f"kernel correctness check failed: {found} != {plant}")
+    # gate BOTH implementations: the routed default (XLA at these sizes)
+    # and the forced Pallas kernel (the pod-scale-shard path)
+    paths = [True] if force_cpu else [True, "force"]
+    for up in paths:
+        _, ar = similarity.max_and_argmax(
+            qprobe, db.vectors, jnp.full((batch,), n_rows, jnp.int32),
+            use_pallas=up,
+        )
+        found = np.asarray(ar)[: len(plant)].tolist()
+        if found != plant:
+            raise RuntimeError(
+                f"kernel correctness check failed (use_pallas={up}): {found} != {plant}"
+            )
 
-    # Throughput: enqueue all reps, then MATERIALIZE the last result on the
-    # host. block_until_ready through this environment's remote-TPU relay
-    # can return before execution finishes (measured >1 PFLOP/s "throughput"
-    # on a ~0.2 PFLOP/s part); an actual host fetch cannot. The detector
-    # state chains through every rep, so fetching the final score forces
-    # every previous dispatch to have executed.
+    # Throughput: run all reps INSIDE one jitted lax.scan (the detector
+    # state chains step to step, so no work can be elided or reordered),
+    # then MATERIALIZE the result on the host. Two measurement artifacts of
+    # this environment's remote-TPU relay are excluded by construction:
+    # block_until_ready can return before execution finishes (measured
+    # >1 PFLOP/s "throughput" on a ~0.2 PFLOP/s part) — a host fetch
+    # cannot; and per-dispatch relay latency (~20 ms/call measured) would
+    # otherwise dominate a ms-scale kernel — one dispatch has none.
+    import jax
+
+    pool_stacked = jnp.stack(pool)
+
+    @jax.jit
+    def run_all(state, pool_stacked):
+        def body(st, q):
+            cands, st = detector.detect_batch(cfg, db, st, q, gidx, qvalid)
+            return st, cands.score[0]
+        st, scores = jax.lax.scan(body, state, pool_stacked)
+        return scores
+
+    sc = run_all(state, pool_stacked)  # warmup/compile
+    jax.block_until_ready(sc)
     t0 = time.perf_counter()
-    for r in range(reps):
-        cands, state = detector.detect_batch(cfg, db, state, pool[r], gidx, qvalid)
-    _ = np.asarray(cands.score)
+    sc = run_all(state, pool_stacked)
+    _ = np.asarray(sc)
     dt = time.perf_counter() - t0
 
     pairs_per_s = reps * batch * n_rows / dt

@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Per-stage device benchmarks (VERDICT r1 #6).
+
+Measures, with the same discipline as bench.py (distinct inputs chained
+through a lax.scan so the runtime cannot memoize or overlap-hide work, a
+correctness gate per stage, and host materialization closing the timing):
+
+  * describe     — descriptor net forward (the reference's GPU server hot
+                   loop, model.predict at tens of ms/frame): keyframes/s,
+                   with the ported reference weights.
+  * verify       — verify_pair_batch (stereo depth x2 + matching + 3-way
+                   RANSAC, the reference's 1 Hz consumer thread): pairs/s.
+  * retrieval    — similarity search + detection at streaming (batch 8)
+                   and mapping (batch 512) query batches: pairs/s.
+
+Writes BENCH_STAGES.json and prints one JSON line per stage.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def bench_describe(reps: int = 10, batch: int = 32):
+    import jax
+    import jax.numpy as jnp
+
+    from cerebro_tpu import synthworld as sw
+    from cerebro_tpu.models.mobilenet import load_ported_params, ported_forward
+
+    params, meta = load_ported_params(
+        os.path.join(os.path.dirname(__file__), "artifacts", "descriptor_ported")
+    )
+    world = sw.CircuitWorld.create(seed=0)
+    ren = sw.Renderer(world)
+    rng = np.random.default_rng(0)
+    xs = rng.uniform(-8, 8, size=reps * batch)
+    ys = rng.uniform(-8, 8, size=reps * batch)
+    imgs = np.stack(
+        [np.repeat(ren.render(x, y)[..., None], 3, -1) for x, y in zip(xs, ys)]
+    ).astype(np.float32)
+    imgs = jnp.asarray(imgs.reshape(reps, batch, *imgs.shape[1:]))
+
+    # correctness gate: determinism + same-place >> different-place
+    d0 = ported_forward(params, imgs[0])
+    d1 = ported_forward(params, imgs[0])
+    assert float(jnp.max(jnp.abs(d0 - d1))) == 0.0, "describe nondeterminism"
+    a = np.repeat(ren.render(0.0, 0.0)[..., None], 3, -1).astype(np.float32)
+    b = np.repeat(ren.render(0.05, 0.0)[..., None], 3, -1).astype(np.float32)
+    c = np.repeat(ren.render(6.0, -5.0)[..., None], 3, -1).astype(np.float32)
+    dabc = ported_forward(params, jnp.asarray(np.stack([a, b, c])))
+    same = float(dabc[0] @ dabc[1])
+    diff = float(dabc[0] @ dabc[2])
+    assert same > diff + 0.03, (same, diff)
+
+    @jax.jit
+    def run(imgs):
+        def body(carry, batch_imgs):
+            d = ported_forward(params, batch_imgs + carry)
+            return jnp.float32(jnp.max(d) * 1e-6), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), imgs)
+        return c
+
+    out = run(imgs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = run(imgs)
+    _ = float(out)
+    dt = time.perf_counter() - t0
+    return {
+        "keyframes_per_s": round(reps * batch / dt, 1),
+        "ms_per_frame": round(dt / (reps * batch) * 1e3, 3),
+        "batch": batch,
+        "image_hw": [sw.IMG_H, sw.IMG_W],
+        "descriptor": "ported (mobilenet_conv7_allpairloss, D=8192)",
+        "gate": {"same_place_sim": round(same, 3), "different_sim": round(diff, 3)},
+    }
+
+
+def bench_verify(reps: int = 4, batch: int = 8):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from cerebro_tpu import synthworld as sw
+    from cerebro_tpu.config import VerifyConfig
+    from cerebro_tpu.verify.geometric import verify_pair_batch
+
+    world = sw.CircuitWorld.create(seed=0)
+    ren = sw.Renderer(world)
+    rig = ren.rig()
+    cfg = dataclasses.replace(
+        VerifyConfig(), max_features=1024, ransac_hypotheses=128,
+        gms_factor=4.0, min_matches_accept=200,
+    )
+    rng = np.random.default_rng(0)
+    # pairs: same place with a small offset (verifiable) at random spots
+    pool = []
+    for r in range(reps):
+        las, ras, lbs, rbs = [], [], [], []
+        for k in range(batch):
+            x, y = rng.uniform(-7, 7, 2)
+            la, ra = ren.stereo(x, y)
+            lb, rb = ren.stereo(x + 0.1, y + 0.05)
+            las.append(la); ras.append(ra); lbs.append(lb); rbs.append(rb)
+        pool.append(tuple(jnp.asarray(np.stack(v), jnp.float32) for v in (las, ras, lbs, rbs)))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), reps)
+
+    # gate: batch of same-place pairs must verify with small translation
+    res = verify_pair_batch(cfg, keys[0], *pool[0], rig)
+    acc = np.asarray(res.accepted)
+    assert acc.mean() >= 0.5, f"verify gate: only {acc.mean():.2f} accepted"
+    t_norm = np.linalg.norm(np.asarray(res.T_b_a)[:, :3, 3], axis=1)
+    assert (t_norm[acc] < 0.5).all(), t_norm
+
+    t0 = time.perf_counter()
+    last = None
+    for r in range(reps):
+        last = verify_pair_batch(cfg, keys[r], *pool[r], rig)
+    _ = np.asarray(last.accepted)
+    dt = time.perf_counter() - t0
+    return {
+        "pairs_per_s": round(reps * batch / dt, 2),
+        "ms_per_pair": round(dt / (reps * batch) * 1e3, 1),
+        "batch": batch,
+        "gate": {"accept_rate": round(float(acc.mean()), 3)},
+    }
+
+
+def bench_retrieval(n_rows: int = 29184, dim: int = 4096, reps: int = 30):
+    import jax
+    import jax.numpy as jnp
+
+    from cerebro_tpu.ops import similarity as sim
+
+    rng = np.random.default_rng(0)
+    db = jnp.asarray(
+        rng.standard_normal((n_rows, dim)).astype(np.float32), jnp.bfloat16
+    )
+    gids = jnp.arange(n_rows, dtype=jnp.int32)
+    out = {}
+    for tag, Q in (("streaming_batch8", 8), ("mapping_batch512", 512)):
+        qs = jnp.asarray(
+            rng.standard_normal((reps, Q, dim)).astype(np.float32), jnp.bfloat16
+        )
+        lims = jnp.full((Q,), n_rows, jnp.int32)
+
+        @jax.jit
+        def run(qs):
+            def body(carry, q):
+                mx, ar = sim.max_and_argmax(q + carry * 1e-6, db, lims, gids)
+                return jnp.max(mx), None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), qs)
+            return c
+
+        o = run(qs)
+        jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        o = run(qs)
+        _ = float(o)
+        dt = time.perf_counter() - t0
+        out[tag] = {
+            "pairs_per_s": round(reps * Q * n_rows / dt, 1),
+            "ms_per_dispatch": round(dt / reps * 1e3, 3),
+            "tflops": round(2 * reps * Q * n_rows * dim / dt / 1e12, 1),
+        }
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default="BENCH_STAGES.json")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    report = {"device": jax.devices()[0].platform}
+    report["describe"] = bench_describe(reps=3 if args.quick else 10)
+    report["retrieval"] = bench_retrieval(
+        n_rows=4096 if args.quick else 29184, reps=5 if args.quick else 30
+    )
+    report["verify"] = bench_verify(reps=2 if args.quick else 4)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    for k, v in report.items():
+        if k != "device":
+            print(json.dumps({k: v}))
+
+
+if __name__ == "__main__":
+    main()

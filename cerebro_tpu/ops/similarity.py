@@ -41,17 +41,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Above this (Q x N x 4B) score-matrix size the dense XLA path stops being
+# attractive and the VMEM-resident Pallas kernel takes over (see
+# max_and_argmax routing note).
+XLA_SCORES_BYTES_MAX = 256 * 1024 * 1024
+
 # History-axis tile. TILE_N rows x D cols of bf16 fit comfortably in VMEM
 # alongside the query block for D up to 8192.
 TILE_N = 512
 
 
-def tile_n_for(dim: int) -> int:
-    """History-tile rows for a given descriptor dim: keep the double-buffered
-    bf16 DB tile within the ~16 MB scoped-VMEM budget (tile*D*2 B <= 4 MB).
-    512 up to D=4096 (the default); 256 at the ported net's D=8192."""
+def tile_n_for(dim: int, q_rows: int = 128) -> int:
+    """History-tile rows that keep the kernel inside the ~16 MB scoped-VMEM
+    budget. Accounted: double-buffered bf16 DB tile (2*t*D*2 B), the
+    persistent query block (Q*D*2 B), and ~6 f32-wide (Q, t) epilogue
+    temporaries (scores, mask, argmax iota/select — measured from the
+    compiler's scoped-vmem report at Q=512, D=4096)."""
+    budget = 14 * 1024 * 1024
     t = TILE_N
-    while t > 128 and t * dim * 2 > 4 * 1024 * 1024:
+    while t > 128 and (4 * t * dim + 2 * q_rows * dim + 24 * q_rows * t) > budget:
         t //= 2
     return t
 
@@ -88,16 +96,20 @@ def scores_xla(
 
 
 def _score_argmax_kernel(
-    q_ref, db_ref, lim_ref, gid_ref, max_ref, arg_ref, scratch_max, scratch_arg
+    q_hbm, db_ref, lim_ref, gid_ref, max_ref, arg_ref, qv, scratch_max,
+    scratch_arg, sem
 ):
-    """Grid over history tiles; running (max, argmax-as-gid) per query row.
+    """Grid over history tiles; running (max, argmax-as-row) per query row.
 
-    q_ref:    (Q, D) queries, VMEM-resident across the whole grid
-    db_ref:   (TILE_N, D) current DB tile
+    q_hbm:    (Q, D) queries in ANY/HBM — DMA'd ONCE into the persistent
+              ``qv`` scratch at t=0 (a VMEM-blocked input would be
+              double-buffered by the pipeline, wasting Q*D*2 bytes that the
+              DB tiles need; at Q=512, D=4096 that overflowed scoped VMEM)
+    db_ref:   (TILE, D) current DB tile (auto-pipelined/double-buffered)
     lim_ref:  (Q, 1) per-query exclusive upper bound on matchable gid
-    gid_ref:  (1, TILE_N) per-row global ids of this tile
+    gid_ref:  (1, TILE) per-row global ids of this tile
     max_ref:  (Q, 1) out — global max score per query
-    arg_ref:  (Q, 1) out — gid of the best match per query
+    arg_ref:  (Q, 1) out — global ROW index of the best match per query
     """
     t = pl.program_id(0)
 
@@ -105,23 +117,25 @@ def _score_argmax_kernel(
     def _init():
         scratch_max[:] = jnp.full_like(scratch_max, NEG_INF)
         scratch_arg[:] = jnp.zeros_like(scratch_arg)
+        cp = pltpu.make_async_copy(q_hbm, qv, sem)
+        cp.start()
+        cp.wait()
 
     s = jax.lax.dot_general(
-        q_ref[:],
+        qv[:],
         db_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (Q, TILE_N)
+    )  # (Q, TILE)
 
-    q_n, tile_n = s.shape  # tile size is the block shape, not the global
-    gid = jnp.broadcast_to(gid_ref[:], (q_n, tile_n))  # (Q, TILE)
-    s = jnp.where(gid < lim_ref[:], s, NEG_INF)
+    # mask by per-row gid (ring-safe) but track the winner as a ROW index —
+    # the (Q, TILE) gid broadcast + onehot extraction blew the 16 MB scoped
+    # VMEM budget at Q=512; the caller gathers gids[row] afterwards.
+    s = jnp.where(gid_ref[:] < lim_ref[:], s, NEG_INF)  # (1,T) vs (Q,1) bcast
 
     tile_max = jnp.max(s, axis=1, keepdims=True)  # (Q, 1)
-    am = jnp.argmax(s, axis=1)  # (Q,) local row in tile
-    col = jax.lax.broadcasted_iota(jnp.int32, (q_n, tile_n), 1)
-    onehot = col == am[:, None]
-    tile_arg = jnp.sum(jnp.where(onehot, gid, 0), axis=1, keepdims=True)  # (Q,1) gid
+    t0 = pl.program_id(0) * s.shape[1]
+    tile_arg = jnp.argmax(s, axis=1)[:, None] + t0  # (Q, 1) global ROW
 
     better = tile_max > scratch_max[:]
     scratch_arg[:] = jnp.where(better, tile_arg, scratch_arg[:])
@@ -143,16 +157,29 @@ def max_and_argmax(
 ):
     """Per-query (max score, matched gid) over the DB — the quantity the
     reference's detector needs per tick (argmax of u/um/umm plus the max
-    value, src/Cerebro.cpp:1019-1056)."""
+    value, src/Cerebro.cpp:1019-1056).
+
+    Routing (measured on a v5e chip, 29184x4096 DB): XLA's fused
+    matmul+mask+argmax runs at 78 TFLOP/s vs 59 for the hand-scheduled
+    Pallas kernel at Q=512, and dominates harder at small Q where the
+    kernel pays per-tile overhead — so the dense case goes to XLA (don't
+    hand-schedule what the compiler does better). The Pallas kernel takes
+    over only when the (Q, N) score matrix would be too large to stage
+    through HBM comfortably (pod-scale history shards), which is exactly
+    the case it was written for: the scores never leave VMEM."""
     Q, D = queries.shape
     N = db.shape[0]
     g = _row_gids(N) if gids is None else gids.astype(jnp.int32)
-    if not use_pallas or _interpret():
+    scores_bytes = 4 * Q * N
+    force = use_pallas == "force"  # bypass routing (kernel tests / benches)
+    if not force and (
+        not use_pallas or _interpret() or scores_bytes <= XLA_SCORES_BYTES_MAX
+    ):
         s = scores_xla(queries, db, limits, g)
         am = jnp.argmax(s, axis=1)
         return jnp.max(s, axis=1), g[am]
 
-    tile = tile_n_for(D)
+    tile = tile_n_for(D, Q)
     assert N % tile == 0, f"DB rows {N} must be a multiple of {tile} (D={D})"
     grid = (N // tile,)
     qf = queries.astype(jnp.bfloat16)
@@ -163,7 +190,7 @@ def max_and_argmax(
         _score_argmax_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Q, D), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # queries: manual one-shot DMA
             pl.BlockSpec((tile, D), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
@@ -177,14 +204,17 @@ def max_and_argmax(
             jax.ShapeDtypeStruct((Q, 1), jnp.int32),
         ],
         scratch_shapes=[
+            pltpu.VMEM((Q, D), jnp.bfloat16),  # persistent query block
             pltpu.VMEM((Q, 1), jnp.float32),
             pltpu.VMEM((Q, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * Q * N * D, bytes_accessed=N * D * 2 + Q * D * 2, transcendentals=0
         ),
     )(qf, dbf, lim, g.reshape(1, N))
-    return mx[:, 0], ar[:, 0]
+    # kernel tracks winners as row indices; translate to global ids here
+    return mx[:, 0], g[ar[:, 0]]
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -304,7 +334,7 @@ def _max_and_argmax_banned(queries, db, limits, gids, banned, use_pallas: bool):
         am = jnp.argmax(s, axis=1)
         return jnp.max(s, axis=1), g[am]
 
-    tile = tile_n_for(D)
+    tile = tile_n_for(D, Q)
     assert N % tile == 0, f"DB rows {N} must be a multiple of {tile} (D={D})"
     grid = (N // tile,)
     mx, ar = pl.pallas_call(
