@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Scaled end-to-end accuracy benchmark (VERDICT r1 #2).
+"""Scaled end-to-end accuracy + engine-throughput benchmark.
 
 Streams a procedurally rendered long survey (cerebro_tpu.synthworld:
 >=1000 stereo frames, multiple planted revisit laps, one kidnap with
@@ -7,13 +7,21 @@ teleport, VINS-like drifting odometry) through the full engine —
 descriptors -> loop detection -> geometric verification -> multi-world
 pose-graph — and reports:
 
-  * loop-candidate precision / recall against planted revisits,
+  * loop-candidate precision / recall against planted revisits, plus a
+    full precision/recall sweep over the dot threshold (the frontier the
+    reference's faiss methods exist to trade, ref src/Cerebro.cpp:366-722),
   * accepted-edge precision,
   * ATE (RMSE, aligned) before vs after the pose-graph correction,
-  * ingest throughput (keyframes/s).
+  * ENGINE-ONLY ingest throughput (keyframes/s): every frame is rendered
+    BEFORE the timed window, so the number measures the engine, not the
+    synthetic renderer,
+  * an honest per-stage device-time breakdown from a separate pass with
+    sync attribution on (StageTimer.sync closes each stage with a device
+    sync; the throughput pass runs fully asynchronous).
 
 The reference's corresponding evidence is live EuRoC rviz runs
-(README.md:17-60); this harness gives the same scenario exact ground truth.
+(README.md:17-60) at a 20 Hz camera rate (README.md:11-12) — the
+keyframes_per_s figure is directly comparable to that 20 Hz live rate.
 
 Emits one JSON line; use --out to also write the full report file.
 """
@@ -29,37 +37,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def run(n_frames: int, laps: float, cpu: bool, descriptor: str, out: str | None,
-        verify_batch: int = 8):
-    import jax
-
-    if cpu:
-        jax.config.update("jax_platforms", "cpu")
-
+def make_config(descriptor: str, n_frames: int, batch: int = 16,
+                dot_threshold: float | None = None, method: str = "A"):
     import dataclasses
 
     from cerebro_tpu import synthworld as sw
     from cerebro_tpu.config import (
         CerebroConfig,
         DescriptorConfig,
+        LoopConfig,
         RuntimeConfig,
         VerifyConfig,
     )
-    from cerebro_tpu.eval import ate_rmse
-    from cerebro_tpu.runtime import CerebroPipeline
-
-    world = sw.CircuitWorld.create(seed=0)
-    ren = sw.Renderer(world)
-    seq = sw.make_sequence(n_frames=n_frames, laps=laps)
-
-    from cerebro_tpu.config import LoopConfig
 
     # DB sized to the run (multiple of the pallas history tile, TILE_N=512)
     cap = ((n_frames + 511) // 512 + 1) * 512
-    cfg = CerebroConfig(
+    loop = LoopConfig(db_capacity=cap, method=method)
+    if dot_threshold is not None:
+        loop = dataclasses.replace(loop, dot_threshold=dot_threshold)
+    return CerebroConfig(
         descriptor=DescriptorConfig(image_hw=(sw.IMG_H, sw.IMG_W), kind=descriptor),
-        loop=LoopConfig(db_capacity=cap),
-        runtime=RuntimeConfig(descriptor_batch=16, stash_dir="/tmp/bench_e2e_stash"),
+        loop=loop,
+        runtime=RuntimeConfig(descriptor_batch=batch, stash_dir="/tmp/bench_e2e_stash"),
         # match-count gates rescaled for 240x320 synthetic texture density
         # (the reference's 150/800 assume ORB x 5000 on 752x480; same ratio)
         verify=dataclasses.replace(
@@ -70,13 +69,25 @@ def run(n_frames: int, laps: float, cpu: bool, descriptor: str, out: str | None,
             min_matches_accept=200,
         ),
     )
-    pipe = CerebroPipeline(cfg, rig=ren.rig(), body_T_cam=sw.body_T_cam())
 
-    # --- stream ---------------------------------------------------------
-    t0 = time.perf_counter()
+
+def prerender(seq, n_frames: int):
+    """Render every stereo frame BEFORE the timed window (the r2 bench
+    ray-rendered inside it, conflating renderer and engine — VERDICT Weak #3)."""
+    from cerebro_tpu import synthworld as sw
+
+    world = sw.CircuitWorld.create(seed=0)
+    ren = sw.Renderer(world)
+    frames = [ren.stereo(seq.xy[i, 0], seq.xy[i, 1]) for i in range(n_frames)]
+    return ren, frames
+
+
+def stream(pipe, seq, frames, n_frames: int, drain: bool = True) -> float:
+    """Feed pre-rendered frames; returns wall seconds (engine only)."""
     k0, k1 = seq.kidnap_span
+    t0 = time.perf_counter()
     for i in range(n_frames):
-        left, right = ren.stereo(seq.xy[i, 0], seq.xy[i, 1])
+        left, right = frames[i]
         in_kidnap = k0 <= i < k1
         pipe.ingest_frame(
             float(seq.stamps[i]),
@@ -87,7 +98,115 @@ def run(n_frames: int, laps: float, cpu: bool, descriptor: str, out: str | None,
             is_keyframe=bool(seq.is_keyframe[i]),
         )
     pipe.flush_descriptors()
-    stream_wall = time.perf_counter() - t0
+    if drain:
+        pipe._drain_detections()  # block until all device detection work lands
+    return time.perf_counter() - t0
+
+
+def pr_sweep(pipe, seq, pair_dist, gt_revisit, thresholds=None):
+    """Precision/recall over the dot threshold from the per-query log.
+
+    The locality-agreement gate is threshold-independent, so one logged run
+    yields the whole frontier (query_log: curr_gid, prev_gid, score, agree)."""
+    if thresholds is None:
+        thresholds = [round(t, 3) for t in np.arange(0.50, 0.96, 0.025)]
+    g2s = pipe.db_gid_to_store
+    min_dt = pipe.cfg.verify.min_pair_dt_s
+    entries = []
+    for curr_g, prev_g, score, agree in pipe.query_log:
+        curr, prev = g2s[curr_g], g2s[prev_g]
+        if pipe.store.stamps[curr] - pipe.store.stamps[prev] < min_dt:
+            continue
+        entries.append((curr, prev, score, agree))
+    gt_frames = set(np.nonzero(gt_revisit)[0])
+    n_opp = max(int(gt_revisit.sum()), 1)
+    curve = []
+    for t in thresholds:
+        cands = [(c, p) for c, p, s, a in entries if a and s > t]
+        correct = [cp for cp in cands if pair_dist(*cp) < 1.5]
+        prec = len(correct) / max(len(cands), 1)
+        rec = len({c for c, _ in correct} & gt_frames) / n_opp
+        curve.append(
+            {"threshold": t, "precision": round(prec, 4),
+             "recall": round(rec, 4), "n_candidates": len(cands)}
+        )
+    return curve
+
+
+def compare_methods(seq, frames, n_frames, descriptor_cache, pair_dist,
+                    gt_revisit, base_cfg):
+    """Run candidate generation Methods A/B/C/D over the SAME sequence and
+    descriptors (describe_fn replays the cached rows — descriptors are
+    deterministic given the stream), reporting each method's candidate
+    precision/recall (ref method dispatch src/Cerebro.cpp:350-722)."""
+    import dataclasses
+
+    from cerebro_tpu.runtime import CerebroPipeline
+
+    gt_frames = set(np.nonzero(gt_revisit)[0])
+    n_opp = max(int(gt_revisit.sum()), 1)
+    out = {}
+    for method in ["A", "B", "C", "D"]:
+        cfg = dataclasses.replace(
+            base_cfg, loop=dataclasses.replace(base_cfg.loop, method=method)
+        )
+        replay = iter(descriptor_cache)
+
+        def describe_cached(imgs, _it=replay):
+            import jax.numpy as jnp
+
+            return jnp.asarray(
+                np.stack([next(_it) for _ in range(imgs.shape[0])])
+            )
+
+        pipe = CerebroPipeline(
+            cfg, describe_fn=describe_cached,
+            describe_dim=int(descriptor_cache[0].shape[-1]),
+        )
+        stream(pipe, seq, frames, n_frames)
+        cands = [(c.idx_curr, c.idx_prev) for c in pipe.candidates]
+        correct = [cp for cp in cands if pair_dist(*cp) < 1.5]
+        prec = len(correct) / max(len(cands), 1)
+        rec = len({c for c, _ in correct} & gt_frames) / n_opp
+        out[method] = {
+            "n_candidates": len(cands),
+            "precision": round(prec, 4),
+            "recall": round(rec, 4),
+        }
+    return out
+
+
+def run(n_frames: int, laps: float, cpu: bool, descriptor: str, out: str | None,
+        verify_batch: int = 8, dot_threshold: float | None = None,
+        profile_frames: int = 256, methods: bool = True):
+    import jax
+
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from cerebro_tpu import synthworld as sw
+    from cerebro_tpu.eval import ate_rmse
+    from cerebro_tpu.runtime import CerebroPipeline
+
+    seq = sw.make_sequence(n_frames=n_frames, laps=laps)
+    ren, frames = prerender(seq, n_frames)
+    cfg = make_config(descriptor, n_frames, dot_threshold=dot_threshold)
+
+    # --- pass 1: per-stage attribution (device-synced stages) -------------
+    prof = None
+    if profile_frames > 0:
+        pipe_p = CerebroPipeline(cfg, rig=ren.rig(), body_T_cam=sw.body_T_cam())
+        pipe_p.timer.sync = True
+        np_ = min(profile_frames, n_frames)
+        stream(pipe_p, seq, frames, np_)
+        # warm-up batch (compile) dominates the first sample; report stats
+        # excluding it via p50/p95 plus the mean over all samples
+        prof = pipe_p.timer.stats()
+
+    # --- pass 2: engine-only throughput (fully asynchronous) --------------
+    pipe = CerebroPipeline(cfg, rig=ren.rig(), body_T_cam=sw.body_T_cam())
+    pipe.log_queries = True
+    stream_wall = stream(pipe, seq, frames, n_frames)
 
     # --- candidate precision / recall ------------------------------------
     cands = [(c.idx_curr, c.idx_prev) for c in pipe.candidates]
@@ -104,6 +223,7 @@ def run(n_frames: int, laps: float, cpu: bool, descriptor: str, out: str | None,
     recall = len(detected_frames & set(np.nonzero(gt_revisit)[0])) / max(
         n_opportunities, 1
     )
+    curve = pr_sweep(pipe, seq, pair_dist, gt_revisit)
 
     # --- geometric verification ------------------------------------------
     t1 = time.perf_counter()
@@ -126,13 +246,33 @@ def run(n_frames: int, laps: float, cpu: bool, descriptor: str, out: str | None,
         ate_rmse(opt[w0][:, :3, 3], gt_pos[w0]) if opt is not None else float("nan")
     )
 
+    # --- method comparison over the same descriptors ----------------------
+    method_cmp = None
+    if methods:
+        B = cfg.runtime.descriptor_batch
+        desc_rows = np.asarray(pipe.db.vectors)[: len(pipe.db_gid_to_store)]
+        # replay rows padded per batch the same way the pipeline batches
+        cache = []
+        k = 0
+        while k < len(desc_rows):
+            chunk = desc_rows[k : k + B]
+            k += B
+            cache.extend(list(chunk))
+            cache.extend([chunk[-1] * 0] * (B - len(chunk)))
+        method_cmp = compare_methods(
+            seq, frames, n_frames, cache, pair_dist, gt_revisit, cfg
+        )
+
     st = pipe.status()
     report = {
         "n_frames": int(st["frames"]),
         "n_keyframes": int(st["keyframes"]),
         "n_candidates": len(cands),
+        "dot_threshold": pipe.cfg.loop.dot_threshold,
         "candidate_precision": round(precision, 4),
         "candidate_recall": round(recall, 4),
+        "pr_curve": curve,
+        "methods": method_cmp,
         "revisit_opportunities": n_opportunities,
         "n_loop_edges": len(edge_pairs),
         "edge_precision": round(edge_precision, 4),
@@ -143,8 +283,11 @@ def run(n_frames: int, laps: float, cpu: bool, descriptor: str, out: str | None,
         "ate_after_m_all": round(ate_after, 4),
         "ate_improvement_x": round(ate_before_w0 / max(ate_after_w0, 1e-9), 2),
         "keyframes_per_s": round(st["described"] / stream_wall, 2),
+        "engine_note": "frames pre-rendered; timed window is engine-only",
         "verify_pairs_per_s": round(len(cands) / max(verify_wall, 1e-9), 2),
-        "timings_ms": st["timings_ms"],
+        # per-stage times from the sync-attributed profile pass (each stage
+        # blocks on its own device work; the throughput pass is async)
+        "timings_ms_profiled": prof,
         "descriptor": descriptor,
         "device": str(jax.devices()[0].platform),
     }
@@ -163,10 +306,20 @@ def main():
         "--descriptor", default="ported", choices=["gist", "netvlad", "ported"],
         help="'ported' = the reference's trained NetVLAD weights run natively",
     )
+    ap.add_argument("--threshold", type=float, default=None,
+                    help="override the candidate dot threshold")
+    ap.add_argument("--no-methods", action="store_true",
+                    help="skip the A/B/C/D method comparison")
+    ap.add_argument("--profile-frames", type=int, default=256)
     ap.add_argument("--out", default=None, help="write the full report JSON here")
     args = ap.parse_args()
-    report = run(args.frames, args.laps, args.cpu, args.descriptor, args.out)
-    print(json.dumps(report))
+    report = run(args.frames, args.laps, args.cpu, args.descriptor, args.out,
+                 dot_threshold=args.threshold,
+                 profile_frames=args.profile_frames,
+                 methods=not args.no_methods)
+    compact = {k: v for k, v in report.items()
+               if k not in ("pr_curve", "timings_ms_profiled")}
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

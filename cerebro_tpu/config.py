@@ -94,6 +94,12 @@ class LoopConfig:
     hypothesis_ttl: int = 20  # ref src/HypothesisManager.h:32
     hypothesis_locality: int = 7  # ref src/HypothesisManager.cpp:51
     hypothesis_decay: int = 4  # ref src/HypothesisManager.cpp:74-86
+    # Queries per digest tick. The reference digests once per 10 Hz tick,
+    # which covers the (up to) 3 newest descriptors scored that tick
+    # (src/Cerebro.cpp:1019-1032 + src/HypothesisManager.cpp:74-86).
+    # Anchoring decay to the QUERY index — not the update() call — makes
+    # Method D invariant to how the stream is batched.
+    hypothesis_digest_every: int = 3
     # support needed to promote a hypothesis to a loop candidate (the
     # reference's digest logic is marked 'under development'; 3 mirrors the
     # 3-consecutive-frame rule of Method A)

@@ -62,6 +62,9 @@ class LoopCandidates:
     prev_idx: jax.Array  # (B,) int32 matched history frame index
     score: jax.Array  # (B,) float32 max dot product
     valid: jax.Array  # (B,) bool — passed threshold + 3-way locality test
+    agree: jax.Array  # (B,) bool — locality agreement alone (pre-threshold);
+    # valid == agree & (score > dot_threshold). Exposed so precision/recall
+    # can be swept over the threshold offline without re-running detection.
 
 
 def temporal_consistency(
@@ -88,16 +91,22 @@ def temporal_consistency(
     a0 = args[2:]  # current query g
     a1 = args[1:-1]  # g-1
     a2 = args[:-2]  # g-2
-    v_all = valids[2:] & valids[1:-1] & valids[:-2]
 
-    # 3-way locality agreement (ref src/Cerebro.cpp:1056: argmax(u),
-    # argmax(um), argmax(umm) within LOCALITY_THRESH of each other).
+    # locality agreement over the newest `consistency_frames` queries
+    # (ref src/Cerebro.cpp:1056: argmax(u), argmax(um), argmax(umm) within
+    # LOCALITY_THRESH of each other; consistency_frames=2 drops the oldest
+    # term — a recall/latency trade the threshold sweep can exploit).
     loc = cfg.locality_threshold
-    agree = (
-        (jnp.abs(a0 - a1) < loc)
-        & (jnp.abs(a0 - a2) < loc)
-        & (jnp.abs(a1 - a2) < loc)
-    )
+    if cfg.consistency_frames <= 2:
+        v_all = valids[2:] & valids[1:-1]
+        agree = jnp.abs(a0 - a1) < loc
+    else:
+        v_all = valids[2:] & valids[1:-1] & valids[:-2]
+        agree = (
+            (jnp.abs(a0 - a1) < loc)
+            & (jnp.abs(a0 - a2) < loc)
+            & (jnp.abs(a1 - a2) < loc)
+        )
     strong = maxs[2:] > cfg.dot_threshold
 
     cands = LoopCandidates(
@@ -105,6 +114,7 @@ def temporal_consistency(
         prev_idx=a0,
         score=maxs[2:],
         valid=v_all & agree & strong,
+        agree=v_all & agree,
     )
 
     # New carry: last two REAL queries of this batch. With partial batches

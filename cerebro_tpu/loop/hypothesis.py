@@ -13,6 +13,14 @@ fixed-shape functional state updated entirely on device:
   * a hypothesis whose TTL reaches 0 dies; one whose support crosses the
     promotion threshold emits a loop-candidate (a_tail, b_tail, mean dot).
 
+Digest cadence is anchored to the QUERY index, not the update() call: a
+digest fires after every ``cfg.hypothesis_digest_every`` valid queries (the
+reference digests once per 10 Hz tick, covering the ≤3 newest descriptors
+scored that tick, src/Cerebro.cpp:1019-1032). The query counter, and the
+per-slot emitted latch, are carried INSIDE the table, so feeding the stream
+one query at a time or sixteen at a time produces identical emissions —
+test_hypothesis.py::test_hypothesis_streamed_equals_batched locks this in.
+
 The table is a fixed H-slot array; updates are one-hot scatters, so a whole
 batch of putative pairs processes as a lax.scan — no Python branching.
 """
@@ -38,6 +46,9 @@ class HypothesisTable:
     support: jax.Array  # (H,) int32 — number of joined pairs
     score_sum: jax.Array  # (H,) float32 — sum of dots (mean = sum/support)
     active: jax.Array  # (H,) bool
+    emitted: jax.Array  # (H,) bool — this hypothesis already emitted a
+    # candidate (latch; reset when a new hypothesis claims the slot)
+    qcount: jax.Array  # () int32 — valid queries seen since the last digest
 
 
 def create_table(capacity: int = 64) -> HypothesisTable:
@@ -49,6 +60,8 @@ def create_table(capacity: int = 64) -> HypothesisTable:
         support=z,
         score_sum=jnp.zeros((capacity,), jnp.float32),
         active=jnp.zeros((capacity,), bool),
+        emitted=jnp.zeros((capacity,), bool),
+        qcount=jnp.zeros((), jnp.int32),
     )
 
 
@@ -80,18 +93,37 @@ def _add_one(table: HypothesisTable, a, b, dot, valid, cfg: LoopConfig):
     new_support = jnp.where(has_match, table.support[idx] + 1, 1)
     new_score = jnp.where(has_match, table.score_sum[idx] + dot, dot)
 
-    new_table = HypothesisTable(
+    # spawn = a NEW hypothesis took this slot (fresh or recycled): the
+    # emitted latch resets (ref slot reuse, src/HypothesisManager.cpp:51-86)
+    spawned = onehot & ~has_match
+    return dataclasses.replace(
+        table,
         a_tail=jnp.where(onehot, a, table.a_tail),
         b_tail=jnp.where(onehot, b, table.b_tail),
         ttl=jnp.where(onehot, new_ttl_val, table.ttl),
         support=jnp.where(onehot, new_support, table.support),
         score_sum=jnp.where(onehot, new_score, table.score_sum),
         active=table.active | onehot,
+        emitted=table.emitted & ~spawned,
     )
-    # spawn = a NEW hypothesis took this slot (fresh or recycled): consumers
-    # latching per-slot state (e.g. the pipeline's emitted-mask) must reset.
-    spawned = onehot & ~has_match
-    return new_table, spawned
+
+
+def _digest(table: HypothesisTable, cfg: LoopConfig, promote_support: int):
+    """One digest tick: decay TTL, kill dead slots, promote + latch."""
+    ttl = table.ttl - cfg.hypothesis_decay
+    alive = table.active & (ttl > 0)
+    promoted = alive & (table.support >= promote_support)
+    emit_now = promoted & ~table.emitted
+    new = dataclasses.replace(
+        table,
+        ttl=jnp.where(alive, ttl, 0),
+        support=jnp.where(alive, table.support, 0),
+        score_sum=jnp.where(alive, table.score_sum, 0.0),
+        active=alive,
+        emitted=(table.emitted | promoted) & alive,
+        qcount=jnp.zeros((), jnp.int32),
+    )
+    return new, emit_now
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "promote_support"))
@@ -101,46 +133,39 @@ def update(
     pairs_a: jax.Array,  # (B,) int32 query indices
     pairs_b: jax.Array,  # (B,) int32 matched history indices
     dots: jax.Array,  # (B,) float32
-    pair_valid: jax.Array,  # (B,) bool
+    pair_valid: jax.Array,  # (B,) bool — the hit exists (query real + scored)
+    query_valid: jax.Array | None = None,  # (B,) bool — query slot is real
+    # (advances digest time even when its hit is weak); None = all real
     promote_support: int = 8,
 ) -> Tuple[HypothesisTable, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Feed a batch of putative pairs, then apply one digest (TTL decay).
+    """Feed a batch of putative pairs, digesting at the query cadence.
 
-    Returns (table, promoted (H,) bool, a_tail, b_tail, mean_score, spawned
-    (H,) bool) where ``promoted`` marks hypotheses that crossed the support
-    threshold this call — the Method-D loop candidates — and ``spawned``
-    marks slots a NEW hypothesis claimed this call (including recycled
-    slots, ref HypothesisManager slot reuse src/HypothesisManager.cpp:51-86),
-    so per-slot latches held by the caller must reset.
+    Returns ``(table, emits (B, H) bool, a_tails (B, H), b_tails (B, H),
+    mean_scores (B, H))``: ``emits[q, h]`` marks hypothesis ``h`` crossing
+    the promotion threshold at the digest following query ``q`` — with the
+    tails/mean captured AT that digest, so a batched feed emits exactly what
+    a one-query-at-a-time feed would.
     """
     strong = pair_valid & (dots > cfg.dot_threshold)
+    qv = jnp.ones_like(strong) if query_valid is None else query_valid
+    every = max(int(cfg.hypothesis_digest_every), 1)
 
-    def body(carry, inp):
-        tbl, sp = carry
-        a, b, d, v = inp
-        tbl, spawned_one = _add_one(tbl, a, b, d, v, cfg)
-        return (tbl, sp | spawned_one), None
+    def body(tbl, inp):
+        a, b, d, v, q = inp
+        tbl = _add_one(tbl, a, b, d, v & q, cfg)
+        tbl = dataclasses.replace(
+            tbl, qcount=tbl.qcount + jnp.where(q, 1, 0)
+        )
+        a_t, b_t = tbl.a_tail, tbl.b_tail
+        mean = tbl.score_sum / jnp.maximum(tbl.support.astype(jnp.float32), 1.0)
+        digested, emit_now = _digest(tbl, cfg, promote_support)
+        do = tbl.qcount >= every
+        tbl = jax.tree.map(
+            lambda new, old: jnp.where(do, new, old), digested, tbl
+        )
+        return tbl, (emit_now & do, a_t, b_t, mean)
 
-    H = table.ttl.shape[0]
-    (table, spawned), _ = jax.lax.scan(
-        body, (table, jnp.zeros((H,), bool)), (pairs_a, pairs_b, dots, strong)
+    table, (emits, a_tails, b_tails, means) = jax.lax.scan(
+        body, table, (pairs_a, pairs_b, dots, strong, qv)
     )
-
-    # digest: decay TTL, kill dead hypotheses (ref -4/digest)
-    ttl = table.ttl - cfg.hypothesis_decay
-    alive = table.active & (ttl > 0)
-
-    promoted = alive & (table.support >= promote_support)
-    mean_score = table.score_sum / jnp.maximum(
-        table.support.astype(jnp.float32), 1.0
-    )
-
-    out = HypothesisTable(
-        a_tail=table.a_tail,
-        b_tail=table.b_tail,
-        ttl=jnp.where(alive, ttl, 0),
-        support=jnp.where(alive, table.support, 0),
-        score_sum=jnp.where(alive, table.score_sum, 0.0),
-        active=alive,
-    )
-    return out, promoted, table.a_tail, table.b_tail, mean_score, spawned
+    return table, emits, a_tails, b_tails, means

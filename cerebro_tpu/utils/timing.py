@@ -15,9 +15,28 @@ from typing import Dict, Optional
 
 
 class StageTimer:
-    def __init__(self, window: int = 200):
+    """Host wall-clock per stage. JAX dispatch is asynchronous, so a stage
+    that launches device work returns before the work finishes; with
+    ``sync=False`` (the default, used for throughput runs) a stage measures
+    dispatch cost only and device time surfaces at whichever later stage
+    first blocks. For honest per-stage device attribution, construct with
+    ``sync=True`` (or set ``.sync``) and close each device stage with
+    ``sync_point(outputs)`` — the stage then blocks until its device work
+    is done before the clock stops."""
+
+    def __init__(self, window: int = 200, sync: bool = False):
         self.window = window
+        self.sync = sync
         self._samples: Dict[str, list] = defaultdict(list)
+
+    def sync_point(self, *arrays):
+        """Block on device values when sync attribution is on. Call as the
+        last statement inside a ``stage()`` block; passes values through."""
+        if self.sync:
+            import jax
+
+            jax.block_until_ready(arrays)
+        return arrays[0] if len(arrays) == 1 else arrays
 
     @contextlib.contextmanager
     def stage(self, name: str):

@@ -11,46 +11,101 @@ CFG = LoopConfig()
 
 
 def feed(table, pairs, promote_support=4):
-    """pairs: list of (a, b, dot)."""
+    """pairs: list of (a, b, dot). Returns (table, emits (B,H), a, b, mean)."""
     B = len(pairs)
     a = jnp.asarray([p[0] for p in pairs], jnp.int32)
     b = jnp.asarray([p[1] for p in pairs], jnp.int32)
     d = jnp.asarray([p[2] for p in pairs], jnp.float32)
     v = jnp.ones((B,), bool)
-    t, prom, aa, bb, ss, _spawned = hyp.update(
+    t, emits, aa, bb, ss = hyp.update(
         CFG, table, a, b, d, v, promote_support=promote_support
     )
-    return t, prom, aa, bb, ss
+    return t, emits, aa, bb, ss
 
 
 def test_consistent_pairs_build_one_hypothesis():
     t = hyp.create_table(16)
-    # a drifting consistent track: (100,10), (101,11), ... all strong
-    t, prom, a, b, s = feed(t, [(100 + i, 10 + i, 0.95) for i in range(5)])
+    # a drifting consistent track: (100,10), (101,11), ... all strong.
+    # digest_every=3: promotion is checked at digests after queries 3 and 6;
+    # support crosses 4 at query 4, so the query-6 digest emits.
+    t, emits, a, b, s = feed(t, [(100 + i, 10 + i, 0.95) for i in range(6)])
     act = np.asarray(t.active)
     assert act.sum() == 1
     i = int(np.argmax(act))
-    assert int(t.support[i]) == 5
-    assert np.asarray(prom)[i]  # crossed promote_support=4
-    assert abs(float(s[i]) - 0.95) < 1e-5
+    assert int(t.support[i]) == 6
+    emits = np.asarray(emits)
+    q, h = np.nonzero(emits)
+    assert list(h) == [i] and list(q) == [5]  # emitted at the query-6 digest
+    assert abs(float(s[5, i]) - 0.95) < 1e-5
+    # tails captured at emission: the newest pair at that digest
+    assert int(a[5, i]) == 105 and int(b[5, i]) == 15
 
 
 def test_scattered_pairs_spawn_many_and_die():
     t = hyp.create_table(16)
     # far-apart pairs never join (locality 7)
-    t, prom, *_ = feed(t, [(100, 10, 0.9), (100, 200, 0.9), (100, 400, 0.9)])
+    t, emits, *_ = feed(t, [(100, 10, 0.9), (100, 200, 0.9), (100, 400, 0.9)])
     assert int(np.asarray(t.active).sum()) == 3
-    assert not np.any(np.asarray(prom))
-    # decay with no support: TTL 20 - 4/digest -> dead after 5 digests
-    for _ in range(5):
-        t, prom, *_ = feed(t, [(999, 999, 0.0)])  # weak pair, only digests
-    assert int(np.asarray(t.active).sum()) <= 1  # only the weak-spawn slot at most
+    assert not np.any(np.asarray(emits))
+    # decay with no support: TTL 20 − 4 per digest (1 digest / 3 queries)
+    # -> dead after 5 digests = 15 further queries
+    for _ in range(15):
+        t, emits, *_ = feed(t, [(999, 999, 0.0)])  # weak pair, advances time
+    assert int(np.asarray(t.active).sum()) == 0
 
 
 def test_weak_dots_ignored():
     t = hyp.create_table(8)
-    t, prom, *_ = feed(t, [(100, 10, 0.5), (101, 11, 0.6)])  # below 0.85
+    t, emits, *_ = feed(t, [(100, 10, 0.5), (101, 11, 0.6)])  # below 0.85
     assert int(np.asarray(t.active).sum()) == 0
+
+
+def test_hypothesis_streamed_equals_batched():
+    """Method D must emit identical candidates fed 1 query at a time vs one
+    big batch: digest cadence is anchored to the query index inside the
+    table, not to update() calls (VERDICT r2 weak #4 — TTL used to decay
+    once per call, so behavior depended on descriptor_batch)."""
+    rng = np.random.default_rng(7)
+    Q = 24
+    a_idx = np.arange(200, 200 + Q, dtype=np.int32)
+    # a supported revisit track with noise hits sprinkled in
+    b_idx = np.where(
+        np.arange(Q) % 3 == 2,
+        rng.integers(400, 900, Q),
+        40 + np.arange(Q) // 2,
+    ).astype(np.int32)
+    dots = rng.uniform(0.86, 0.97, Q).astype(np.float32)
+    dots[Q // 2] = 0.2  # one weak hit: advances time, no insertion
+
+    def collect(emits, a_t, b_t, q_off=0):
+        e = np.asarray(emits)
+        return sorted(
+            (q + q_off, int(np.asarray(a_t)[q, h]), int(np.asarray(b_t)[q, h]))
+            for q, h in zip(*np.nonzero(e))
+        )
+
+    tb = hyp.create_table(16)
+    tb, emits, a_t, b_t, _ = hyp.update(
+        CFG, tb, jnp.asarray(a_idx), jnp.asarray(b_idx), jnp.asarray(dots),
+        jnp.ones(Q, bool), promote_support=4,
+    )
+    batched = collect(emits, a_t, b_t)
+
+    ts = hyp.create_table(16)
+    streamed = []
+    for j in range(Q):
+        ts, emits, a_t, b_t, _ = hyp.update(
+            CFG, ts, jnp.asarray(a_idx[j : j + 1]), jnp.asarray(b_idx[j : j + 1]),
+            jnp.asarray(dots[j : j + 1]), jnp.ones(1, bool), promote_support=4,
+        )
+        streamed.extend(collect(emits, a_t, b_t, q_off=j))
+    assert batched == sorted(streamed)
+    assert batched, "scenario must actually emit something"
+    # and the final tables agree
+    for f in ("a_tail", "b_tail", "ttl", "support", "active", "emitted", "qcount"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(tb, f)), np.asarray(getattr(ts, f)), err_msg=f
+        )
 
 
 def test_naive_topk_method():
@@ -149,23 +204,16 @@ def test_clique_carry_spans_batch_boundary():
     assert 40 <= int(prev[0]) <= 43
 
 
-def test_hypothesis_slot_reuse_reports_spawn():
-    """When a dead hypothesis' slot is recycled, update() must flag the slot
-    as spawned so per-slot latches (pipeline emitted-mask) reset
-    (VERDICT r1 weak #3)."""
-    t = hyp.create_table(2)  # tiny table forces slot recycling
-    # fill both slots
-    a = jnp.asarray([100, 100], jnp.int32)
-    b = jnp.asarray([10, 400], jnp.int32)
-    d = jnp.asarray([0.9, 0.9], jnp.float32)
-    v = jnp.ones(2, bool)
-    t, _, _, _, _, spawned = hyp.update(CFG, t, a, b, d, v, promote_support=99)
-    assert np.asarray(spawned).sum() == 2
-    # a third, far-away pair must recycle a slot and report the spawn
-    t, _, _, _, _, spawned2 = hyp.update(
-        CFG, t,
-        jnp.asarray([200], jnp.int32), jnp.asarray([800], jnp.int32),
-        jnp.asarray([0.9], jnp.float32), jnp.ones(1, bool),
-        promote_support=99,
-    )
-    assert np.asarray(spawned2).sum() == 1
+def test_hypothesis_slot_reuse_resets_emitted_latch():
+    """When a new hypothesis claims a slot whose previous occupant already
+    emitted, the in-table emitted latch must reset so the newcomer can emit
+    too (VERDICT r1 weak #3; ref slot reuse src/HypothesisManager.cpp:51-86)."""
+    t = hyp.create_table(1)  # single slot: every spawn recycles it
+    # first hypothesis: enough support to emit at a digest
+    t, emits, *_ = feed(t, [(100 + i, 10 + i, 0.95) for i in range(6)], 4)
+    assert np.asarray(emits).any()
+    assert bool(np.asarray(t.emitted)[0])
+    # a far-away strong track recycles the slot (latch must clear), then
+    # builds support and must emit AGAIN
+    t, emits2, *_ = feed(t, [(300 + i, 900 + i, 0.95) for i in range(6)], 4)
+    assert np.asarray(emits2).any(), "recycled slot failed to re-emit"
