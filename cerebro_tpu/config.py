@@ -140,6 +140,15 @@ class VerifyConfig:
     # 8 rotation patterns, ref gms_matcher.h:9-46 — a rolled revisit must
     # still verify). Default ON for parity.
     oriented_matching: bool = True
+    # Scale-robust matching: anything beyond (1.0,) turns on multi-octave
+    # Harris detection (3-level pyramid, per-keypoint octave descriptors) +
+    # fractional scale banks on frame b filling the half-octave gaps, best
+    # (octave-pair x fraction x orientation) bank wins. Mirrors the
+    # reference's scale handling: ORB detects on an 8-level pyramid
+    # (src/utils/PointFeatureMatching.cpp:21) and GMS sweeps 5 relative
+    # scales (src/utils/GMSMatcher/gms_matcher.h:9-46). A revisit at 1.5-2x
+    # approach distance must still verify.
+    scale_banks: Tuple[float, ...] = (0.5, 0.70710678, 1.0, 1.41421356)
     # Depth validity range in metres (ref src/utils/PointFeatureMatching.cpp:125).
     min_depth: float = 0.1
     max_depth: float = 25.0

@@ -123,6 +123,53 @@ def harris_corners(
     return Keypoints(xy=jnp.stack([xs, ys], axis=-1), score=scores, valid=valid)
 
 
+def _avg_pool2(img: jax.Array) -> jax.Array:
+    """2x2 average-pool decimation (crops a trailing odd row/col)."""
+    H, W = img.shape
+    img = img[: H - (H % 2), : W - (W % 2)]
+    return img.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_kp", "octaves", "nms_radius", "border")
+)
+def harris_corners_pyramid(
+    img: jax.Array,  # (H, W) float32
+    max_kp: int = 1024,
+    octaves: int = 3,
+    nms_radius: int = 4,
+    border: int = 16,
+) -> tuple[Keypoints, jax.Array]:
+    """Multi-octave Harris: detect on a 2x-decimated pyramid, map coords
+    back to full resolution, tag each keypoint with its octave. The union
+    across octaves is what makes corners repeatable under a 1.5-2x
+    approach-distance change — the role of ORB's 8-level pyramid in the
+    reference (src/utils/PointFeatureMatching.cpp:21).
+
+    Returns (Keypoints at full-res coords, lvl (max_kp,) int32). Quota per
+    octave is [1/2, 1/4, 1/4, ...] of ``max_kp`` — finer levels carry more
+    detections, like ORB's per-level feature allocation."""
+    # per-octave keypoint quota: half at full res, rest split evenly
+    q0 = max_kp - (octaves - 1) * (max_kp // (2 * (octaves - 1))) if octaves > 1 else max_kp
+    quotas = [q0] + [max_kp // (2 * (octaves - 1))] * (octaves - 1)
+    parts = []
+    level = img
+    for l in range(octaves):
+        if l > 0:
+            level = _avg_pool2(level)
+        b = max(8, border >> l)
+        k = harris_corners(level, max_kp=quotas[l], nms_radius=nms_radius, border=b)
+        # avg-pool pixel i covers full-res [i*2^l, (i+1)*2^l): center offset
+        f = float(2**l)
+        xy = k.xy * f + (f - 1.0) / 2.0
+        parts.append((xy, k.score, k.valid, jnp.full(quotas[l], l, jnp.int32)))
+    xy = jnp.concatenate([p[0] for p in parts])
+    score = jnp.concatenate([p[1] for p in parts])
+    valid = jnp.concatenate([p[2] for p in parts])
+    lvl = jnp.concatenate([p[3] for p in parts])
+    return Keypoints(xy=xy, score=score, valid=valid), lvl
+
+
 # ---------------------------------------------------------------------------
 # Patch descriptors
 # ---------------------------------------------------------------------------
@@ -142,12 +189,29 @@ def _extract_patches(img: jax.Array, xy: jax.Array, patch: int) -> jax.Array:
     return img[rows, cols].reshape(xy.shape[0], patch * patch)
 
 
-def keypoint_orientations(img: jax.Array, xy: jax.Array, radius: int = 7) -> jax.Array:
+def keypoint_orientations(
+    img: jax.Array,
+    xy: jax.Array,
+    radius: int = 7,
+    scale: float | jax.Array = 1.0,
+    lvl: jax.Array | None = None,
+) -> jax.Array:
     """(K,) dominant orientation per keypoint via the intensity-centroid
     method (ORB's orientation assignment): theta = atan2(m01, m10) of the
-    patch moments around the keypoint."""
+    patch moments around the keypoint. ``scale`` (scalar or per-keypoint)
+    widens the moment window (bilinear sampling at spacing ``scale``) so the
+    orientation is estimated at the same PHYSICAL support as a scale bank's
+    descriptor — without it, orientations computed at a fixed pixel radius
+    diverge between two views of the same scene at different distances.
+    ``lvl`` selects a per-keypoint smoothing level when ``img`` is a stacked
+    (L, H, W) pyramid."""
     p = 2 * radius + 1
-    patches = _extract_patches(img, xy, p).reshape(-1, p, p)
+    if isinstance(scale, (int, float)) and scale == 1.0 and lvl is None:
+        patches = _extract_patches(img, xy, p).reshape(-1, p, p)
+    else:
+        patches = _extract_oriented_patches(
+            img, xy, jnp.zeros(xy.shape[0], jnp.float32), p, scale=scale, lvl=lvl
+        ).reshape(-1, p, p)
     offs = jnp.arange(p, dtype=jnp.float32) - radius
     m10 = jnp.einsum("kij,j->k", patches, offs)  # x moment
     m01 = jnp.einsum("kij,i->k", patches, offs)  # y moment
@@ -156,22 +220,31 @@ def keypoint_orientations(img: jax.Array, xy: jax.Array, radius: int = 7) -> jax
 
 def _extract_oriented_patches(
     img: jax.Array, xy: jax.Array, theta: jax.Array, patch: int,
-    scale: float = 2.0,
+    scale: float | jax.Array = 2.0,
+    lvl: jax.Array | None = None,
 ) -> jax.Array:
     """(K, patch*patch) bilinear patches sampled on a grid rotated by
     -theta about each keypoint — rotation-normalized like ORB's steered
-    BRIEF. ``scale`` is the sampling-grid spacing in pixels: >1 widens the
-    spatial support so the descriptor leans on lower frequencies, which
-    survive the anisotropic resampling a rolled view introduces (measured:
-    scale 2 triples the post-GMS match count at 45° roll, cost-free at 0°)."""
-    H, W = img.shape
+    BRIEF. ``scale`` is the sampling-grid spacing in pixels (scalar or
+    per-keypoint (K,)): >1 widens the spatial support so the descriptor
+    leans on lower frequencies, which survive the anisotropic resampling a
+    rolled view introduces (measured: scale 2 triples the post-GMS match
+    count at 45° roll, cost-free at 0°). With ``img`` of shape (L, H, W)
+    and ``lvl`` (K,) int32, each keypoint samples its own smoothing level —
+    the per-keypoint-octave sampling of ORB's image pyramid
+    (ref src/utils/PointFeatureMatching.cpp:21)."""
+    H, W = img.shape[-2:]
     half = (patch - 1) / 2.0
-    o = (jnp.arange(patch, dtype=jnp.float32) - half) * scale
+    o = jnp.arange(patch, dtype=jnp.float32) - half
     gy, gx = jnp.meshgrid(o, o, indexing="ij")  # (p, p)
+    sc = jnp.asarray(scale, jnp.float32)
+    sc = sc[:, None, None] if sc.ndim == 1 else sc
+    gx = gx[None] * sc
+    gy = gy[None] * sc
     c, s = jnp.cos(theta), jnp.sin(theta)  # (K,)
     # rotate sampling grid by +theta (so descriptor is in the keypoint frame)
-    rx = c[:, None, None] * gx[None] - s[:, None, None] * gy[None]
-    ry = s[:, None, None] * gx[None] + c[:, None, None] * gy[None]
+    rx = c[:, None, None] * gx - s[:, None, None] * gy
+    ry = s[:, None, None] * gx + c[:, None, None] * gy
     sx = jnp.clip(xy[:, 0, None, None] + rx, 0.0, W - 1.001)
     sy = jnp.clip(xy[:, 1, None, None] + ry, 0.0, H - 1.001)
     x0 = jnp.floor(sx).astype(jnp.int32)
@@ -180,24 +253,32 @@ def _extract_oriented_patches(
     wy = sy - y0
     x1 = jnp.minimum(x0 + 1, W - 1)
     y1 = jnp.minimum(y0 + 1, H - 1)
+    if img.ndim == 3:
+        li = lvl[:, None, None] if lvl is not None else 0
+        p00, p01 = img[li, y0, x0], img[li, y0, x1]
+        p10, p11 = img[li, y1, x0], img[li, y1, x1]
+    else:
+        p00, p01 = img[y0, x0], img[y0, x1]
+        p10, p11 = img[y1, x0], img[y1, x1]
     vals = (
-        img[y0, x0] * (1 - wx) * (1 - wy)
-        + img[y0, x1] * wx * (1 - wy)
-        + img[y1, x0] * (1 - wx) * wy
-        + img[y1, x1] * wx * wy
+        p00 * (1 - wx) * (1 - wy)
+        + p01 * wx * (1 - wy)
+        + p10 * (1 - wx) * wy
+        + p11 * wx * wy
     )
     return vals.reshape(xy.shape[0], patch * patch)
 
 
-@functools.partial(jax.jit, static_argnames=("patch", "dim", "oriented", "scale"))
+@functools.partial(jax.jit, static_argnames=("patch", "dim", "oriented"))
 def patch_descriptors(
-    img: jax.Array,  # (H, W) float32
+    img: jax.Array,  # (H, W) float32, or (L, H, W) smoothing pyramid
     kps: Keypoints,
     patch: int = 16,
     dim: int = 128,
     oriented: bool = False,
     theta: jax.Array | None = None,  # (K,) override orientations
-    scale: float = 2.0,
+    scale: float | jax.Array = 2.0,  # sampling spacing, scalar or (K,)
+    lvl: jax.Array | None = None,  # (K,) per-keypoint smoothing level
 ) -> jax.Array:
     """(K, dim) unit descriptors: mean/std-normalized patches projected by a
     fixed random matrix (rBRIEF's role, MXU-shaped). With ``oriented`` the
@@ -205,8 +286,8 @@ def patch_descriptors(
     (ORB's steered-BRIEF rotation invariance)."""
     if oriented:
         if theta is None:
-            theta = keypoint_orientations(img, kps.xy)
-        p = _extract_oriented_patches(img, kps.xy, theta, patch, scale)
+            theta = keypoint_orientations(img, kps.xy, lvl=lvl)
+        p = _extract_oriented_patches(img, kps.xy, theta, patch, scale, lvl=lvl)
     else:
         p = _extract_patches(img, kps.xy, patch)  # (K, p*p)
     p = p - jnp.mean(p, axis=-1, keepdims=True)
@@ -237,16 +318,48 @@ class Matches:
         return jnp.sum(self.valid.astype(jnp.int32))
 
 
-@jax.jit
+def _match_from_scores(
+    s: jax.Array,  # (K, K) score matrix
+    kps_a: Keypoints,
+    kps_b: Keypoints,
+    min_score: float,
+    spatial_tol: float,
+) -> Matches:
+    """Mutual-NN decision from a prebuilt score matrix (shared by the
+    single-bank and fused-multi-bank paths)."""
+    s = jnp.where(kps_a.valid[:, None] & kps_b.valid[None, :], s, -2.0)
+    best_b = jnp.argmax(s, axis=1)  # for each a
+    best_a = jnp.argmax(s, axis=0)  # for each b
+    score = jnp.max(s, axis=1)
+    if spatial_tol > 0.0:
+        back = kps_a.xy[best_a[best_b]]  # where b's best points back in a
+        mutual = jnp.sum((back - kps_a.xy) ** 2, axis=-1) <= spatial_tol**2
+    else:
+        mutual = best_a[best_b] == jnp.arange(s.shape[0])
+    valid = mutual & (score > min_score) & kps_a.valid
+    return Matches(
+        xy_a=kps_a.xy,
+        xy_b=kps_b.xy[best_b],
+        idx_b=best_b,
+        valid=valid,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_tol",))
 def mutual_nn_match(
     desc_a: jax.Array,  # (K, D)
     desc_b: jax.Array,  # (K, D)
     kps_a: Keypoints,
     kps_b: Keypoints,
     min_score: float = 0.5,
+    spatial_tol: float = 0.0,
 ) -> Matches:
     """Cosine-similarity mutual nearest neighbors (the BFMatcher stand-in,
-    one MXU matmul)."""
+    one MXU matmul). With ``spatial_tol`` > 0 the mutual check is spatial
+    rather than exact-index: b's best match must land within ``spatial_tol``
+    px of the forward keypoint. Needed for multi-octave keypoint sets, where
+    the same physical corner appears at several pyramid levels and the
+    reverse argmax legitimately picks a duplicate of the forward keypoint."""
     if desc_b.ndim == 3:
         # (O, K, D): candidate descriptor banks for b (e.g. orientation
         # offsets, the GMS rotation-pattern analog) — score = best over banks
@@ -258,18 +371,7 @@ def mutual_nn_match(
         )
     else:
         s = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)  # (K, K)
-    s = jnp.where(kps_a.valid[:, None] & kps_b.valid[None, :], s, -2.0)
-    best_b = jnp.argmax(s, axis=1)  # for each a
-    best_a = jnp.argmax(s, axis=0)  # for each b
-    score = jnp.max(s, axis=1)
-    mutual = best_a[best_b] == jnp.arange(s.shape[0])
-    valid = mutual & (score > min_score) & kps_a.valid
-    return Matches(
-        xy_a=kps_a.xy,
-        xy_b=kps_b.xy[best_b],
-        idx_b=best_b,
-        valid=valid,
-    )
+    return _match_from_scores(s, kps_a, kps_b, min_score, spatial_tol)
 
 
 # ---------------------------------------------------------------------------
@@ -344,7 +446,7 @@ def gms_filter(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_kp", "gms_factor", "blur", "oriented")
+    jax.jit, static_argnames=("max_kp", "gms_factor", "blur", "oriented", "scales")
 )
 def match_image_pair(
     img_a: jax.Array,  # (H, W) float32
@@ -353,6 +455,7 @@ def match_image_pair(
     gms_factor: float = 6.0,
     blur: int = 5,
     oriented: bool = False,
+    scales: Tuple[float, ...] = (1.0,),
 ) -> Matches:
     """corners -> descriptors -> mutual NN -> GMS. One jit program.
 
@@ -367,23 +470,107 @@ def match_image_pair(
     Oriented mode additionally scores b under 3 orientation-offset banks
     (±15°) and keeps the best — the role of the reference GMS matcher's 8
     rotation patterns (gms_matcher.h:9-46), absorbing per-keypoint
-    orientation-estimate noise under large roll."""
-    ka = harris_corners(img_a, max_kp=max_kp)
-    kb = harris_corners(img_b, max_kp=max_kp)
-    sa = _box_filter(img_a, blur) / float(blur * blur)
-    sb = _box_filter(img_b, blur) / float(blur * blur)
-    da = patch_descriptors(sa, ka, oriented=oriented)
-    if oriented:
-        theta_b = keypoint_orientations(sb, kb.xy)
-        off = jnp.pi / 12
-        db = jnp.stack(
-            [
-                patch_descriptors(sb, kb, oriented=True, theta=theta_b + o)
-                for o in (-off, 0.0, off)
-            ]
-        )
+    orientation-estimate noise under large roll.
+
+    ``scales`` (anything beyond ``(1.0,)``) turns on scale-robust matching:
+    both images are detected on a multi-octave Harris pyramid
+    (``harris_corners_pyramid``) with each keypoint's descriptor sampled at
+    its own octave's spacing and smoothing level, and b is additionally
+    scored under per-keypoint FRACTIONAL scale banks — its grid spacing
+    multiplied by each factor in ``scales`` — with the match score the best
+    over all (octave-pair x fraction x orientation) combinations. Octave
+    pairs cover powers of 2; the fractional banks fill the half-octave gaps,
+    so relative scale is covered continuously across [1/4·min, 4·max]. This
+    is the role of the reference's scale handling — ORB detects on an
+    8-level image pyramid (src/utils/PointFeatureMatching.cpp:21) and GMS
+    sweeps 5 relative scales (src/utils/GMSMatcher/gms_matcher.h:9-46) — so
+    a revisit at 1.5-2x the approach distance still matches. A fractional
+    bank at factor f matches structure that appears f-times LARGER in b
+    than in a (at equal octaves)."""
+    if scales == (1.0,):
+        # single-octave paths (exact legacy behavior)
+        ka = harris_corners(img_a, max_kp=max_kp)
+        kb = harris_corners(img_b, max_kp=max_kp)
+        sa = _box_filter(img_a, blur) / float(blur * blur)
+        sb = _box_filter(img_b, blur) / float(blur * blur)
+        if not oriented:
+            da = patch_descriptors(sa, ka, oriented=False)
+            db = patch_descriptors(sb, kb, oriented=False)
+        else:
+            da = patch_descriptors(sa, ka, oriented=True)
+            theta_b = keypoint_orientations(sb, kb.xy)
+            off = jnp.pi / 12
+            db = jnp.stack(
+                [
+                    patch_descriptors(sb, kb, oriented=True, theta=theta_b + o)
+                    for o in (-off, 0.0, off)
+                ]
+            )
     else:
-        db = patch_descriptors(sb, kb, oriented=oriented)
+        octaves = 3
+        ka, la = harris_corners_pyramid(img_a, max_kp=max_kp, octaves=octaves)
+        kb, lb = harris_corners_pyramid(img_b, max_kp=max_kp, octaves=octaves)
+        # full-res smoothing pyramid: blur tracks the octave's sampling
+        # spacing (scale-space consistency — descriptor support and
+        # smoothing grow together)
+        def smooth_stack(img):
+            levels = []
+            for l in range(octaves):
+                b = (blur << l) | 1
+                levels.append(_box_filter(img, b) / float(b * b))
+            return jnp.stack(levels)
+
+        pa = smooth_stack(img_a)
+        pb = smooth_stack(img_b)
+        sc_a = 2.0 ** la.astype(jnp.float32)
+        sc_b = 2.0 ** lb.astype(jnp.float32)
+        zeros_a = jnp.zeros(ka.xy.shape[0], jnp.float32)
+        zeros_b = jnp.zeros(kb.xy.shape[0], jnp.float32)
+
+        def bank_scores(theta_a, thetas_b):
+            """Best-over-banks score matrix for one frame hypothesis."""
+            d_a = patch_descriptors(
+                pa, ka, oriented=True, theta=theta_a, scale=2.0 * sc_a, lvl=la
+            )
+            d_b = jnp.stack(
+                [
+                    patch_descriptors(
+                        pb, kb, oriented=True, theta=tb, scale=2.0 * f * sc_b,
+                        lvl=lb,
+                    )
+                    for f, tb in zip(scales, thetas_b)
+                ]
+            )
+            return jnp.max(
+                jnp.einsum(
+                    "ad,fbd->fab", d_a, d_b, preferred_element_type=jnp.float32
+                ),
+                axis=0,
+            )
+
+        # frame hypothesis 1: identity (zero-rotation) — exact for the
+        # common no-roll revisit, immune to orientation-estimate noise
+        s = bank_scores(zeros_a, [zeros_b] * len(scales))
+        if oriented:
+            # frame hypothesis 2: keypoint-frame rotation normalization
+            # (steered BRIEF) with ±15° offsets absorbing estimate noise —
+            # recovers rolled revisits. Per-fraction orientation: estimated
+            # at the bank's own support so the keypoint frame stays
+            # consistent across a distance change.
+            theta_a = keypoint_orientations(pa, ka.xy, scale=sc_a, lvl=la)
+            off = jnp.pi / 12
+            for o in (-off, 0.0, off):
+                tbs = [
+                    keypoint_orientations(pb, kb.xy, scale=f * sc_b, lvl=lb) + o
+                    for f in scales
+                ]
+                s = jnp.maximum(s, bank_scores(theta_a, tbs))
+        # spatial mutual tol: duplicate keypoints across octaves make
+        # exact-index mutuality too strict
+        m = _match_from_scores(s, ka, kb, min_score=0.5, spatial_tol=4.0)
+        H, W = img_a.shape
+        grid = (max(4, H // 30), max(4, W // 27))
+        return gms_filter(m, img_a.shape, grid=grid, factor=gms_factor)
     m = mutual_nn_match(da, db, ka, kb)
     # grid sized for ~30 px cells: at low keypoint density the support
     # statistics need bigger neighborhoods than the reference's 20x20 grid

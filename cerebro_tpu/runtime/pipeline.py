@@ -737,6 +737,7 @@ class CerebroPipeline:
                 max_kp=self.cfg.verify.max_features,
                 gms_factor=self.cfg.verify.gms_factor,
                 oriented=self.cfg.verify.oriented_matching,
+                scales=self.cfg.verify.scale_banks,
             )
             img = side_by_side_matches(
                 la, lb,

@@ -120,7 +120,7 @@ def _verify_from_points(
     # --- point matches between the two left images (ref :1484-1493) ---
     m = features.match_image_pair(
         left_a, left_b, max_kp=cfg.max_features, gms_factor=cfg.gms_factor,
-        oriented=cfg.oriented_matching,
+        oriented=cfg.oriented_matching, scales=cfg.scale_banks,
     )
     n_matches = m.count()
     attempt = n_matches >= cfg.min_matches_attempt

@@ -113,3 +113,69 @@ def test_oriented_matching_identity_unchanged(rng):
     img = jnp.asarray(textured_image(rng))
     m = features.match_image_pair(img, img, max_kp=512, oriented=True)
     assert int(m.count()) > 150
+
+
+# fractional half-octave banks; octave pairs from the 3-level detection
+# pyramid cover the powers of 2 (together = the GMS 5-scale sweep's range)
+SCALE_BANKS = (0.5, 0.70710678, 1.0, 1.41421356)
+
+
+def _scale_pair(rng, zoom: float):
+    """Revisit at `zoom`x the approach distance: frame a is the close view,
+    frame b sees the same scene at 1/zoom scale. Returns (a, b, map a->b)."""
+    from scipy import ndimage
+
+    size = 360
+    base = textured_image(rng, size, size)
+    crop = 60
+    a = base[crop : size - crop, crop : size - crop]  # 240x240 close view
+    s = 1.0 / zoom
+    b = ndimage.zoom(base, s, order=1).astype(np.float32)
+    b = b[: a.shape[0], : a.shape[1]]  # keep shapes equal (scene fits)
+
+    def a_to_b(xy):
+        return (xy + crop) * s
+
+    return a, b, a_to_b
+
+
+def _correct_count(a, b, a_to_b, scales, tol=4.0):
+    m = features.match_image_pair(
+        jnp.asarray(a), jnp.asarray(b), max_kp=512, oriented=True, scales=scales
+    )
+    v = np.asarray(m.valid)
+    if v.sum() == 0:
+        return 0
+    err = np.linalg.norm(a_to_b(np.asarray(m.xy_a)[v]) - np.asarray(m.xy_b)[v], axis=1)
+    return int((err < tol).sum())
+
+
+def test_scale_banks_survive_scale_change(rng):
+    """Revisit at 1.5x approach distance (the case VERDICT r2 flagged: the
+    reference's ORB pyramid + GMS 5-scale sweep passes it,
+    src/utils/PointFeatureMatching.cpp:21, gms_matcher.h:9-46). Single-scale
+    matching collapses; the 5-bank scale sweep keeps a verifiable set."""
+    a, b, a_to_b = _scale_pair(rng, zoom=1.5)
+    single = _correct_count(a, b, a_to_b, scales=(1.0,))
+    banked = _correct_count(a, b, a_to_b, scales=SCALE_BANKS)
+    assert single < 60, single  # single-scale genuinely degrades
+    assert banked > 100, banked  # scale banks recover a dense match set
+    assert banked > 2 * max(single, 1), (single, banked)
+
+
+def test_scale_banks_survive_2x(rng):
+    """Same at a 2x distance change — the far end of the reference's sweep."""
+    a, b, a_to_b = _scale_pair(rng, zoom=2.0)
+    single = _correct_count(a, b, a_to_b, scales=(1.0,))
+    banked = _correct_count(a, b, a_to_b, scales=SCALE_BANKS)
+    assert banked > 60, banked
+    assert banked > 2 * max(single, 1), (single, banked)
+
+
+def test_scale_banks_identity_unchanged(rng):
+    """Scale banks must not degrade the same-scale case."""
+    img = jnp.asarray(textured_image(rng))
+    m = features.match_image_pair(
+        img, img, max_kp=512, oriented=True, scales=SCALE_BANKS
+    )
+    assert int(m.count()) > 150
