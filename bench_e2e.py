@@ -38,7 +38,8 @@ import numpy as np
 
 
 def make_config(descriptor: str, n_frames: int, batch: int = 16,
-                dot_threshold: float | None = None, method: str = "A"):
+                dot_threshold: float | None = None, method: str = "A",
+                candidates_per_query: int = 1):
     import dataclasses
 
     from cerebro_tpu import synthworld as sw
@@ -52,7 +53,8 @@ def make_config(descriptor: str, n_frames: int, batch: int = 16,
 
     # DB sized to the run (multiple of the pallas history tile, TILE_N=512)
     cap = ((n_frames + 511) // 512 + 1) * 512
-    loop = LoopConfig(db_capacity=cap, method=method)
+    loop = LoopConfig(db_capacity=cap, method=method,
+                      candidates_per_query=candidates_per_query)
     if dot_threshold is not None:
         loop = dataclasses.replace(loop, dot_threshold=dot_threshold)
     return CerebroConfig(
@@ -178,7 +180,8 @@ def compare_methods(seq, frames, n_frames, descriptor_cache, pair_dist,
 
 def run(n_frames: int, laps: float, cpu: bool, descriptor: str, out: str | None,
         verify_batch: int = 8, dot_threshold: float | None = None,
-        profile_frames: int = 256, methods: bool = True):
+        profile_frames: int = 256, methods: bool = True,
+        candidates_per_query: int = 1):
     import jax
 
     if cpu:
@@ -190,7 +193,8 @@ def run(n_frames: int, laps: float, cpu: bool, descriptor: str, out: str | None,
 
     seq = sw.make_sequence(n_frames=n_frames, laps=laps)
     ren, frames = prerender(seq, n_frames)
-    cfg = make_config(descriptor, n_frames, dot_threshold=dot_threshold)
+    cfg = make_config(descriptor, n_frames, dot_threshold=dot_threshold,
+                      candidates_per_query=candidates_per_query)
 
     # --- pass 1: per-stage attribution (device-synced stages) -------------
     prof = None
@@ -269,6 +273,7 @@ def run(n_frames: int, laps: float, cpu: bool, descriptor: str, out: str | None,
         "n_keyframes": int(st["keyframes"]),
         "n_candidates": len(cands),
         "dot_threshold": pipe.cfg.loop.dot_threshold,
+        "candidates_per_query": pipe.cfg.loop.candidates_per_query,
         "candidate_precision": round(precision, 4),
         "candidate_recall": round(recall, 4),
         "pr_curve": curve,
@@ -311,12 +316,15 @@ def main():
     ap.add_argument("--no-methods", action="store_true",
                     help="skip the A/B/C/D method comparison")
     ap.add_argument("--profile-frames", type=int, default=256)
+    ap.add_argument("--topk", type=int, default=1,
+                    help="Method A candidates per query handed to the verifier")
     ap.add_argument("--out", default=None, help="write the full report JSON here")
     args = ap.parse_args()
     report = run(args.frames, args.laps, args.cpu, args.descriptor, args.out,
                  dot_threshold=args.threshold,
                  profile_frames=args.profile_frames,
-                 methods=not args.no_methods)
+                 methods=not args.no_methods,
+                 candidates_per_query=args.topk)
     compact = {k: v for k, v in report.items()
                if k not in ("pr_curve", "timings_ms_profiled")}
     print(json.dumps(compact))

@@ -90,6 +90,14 @@ class LoopConfig:
     # Top-k returned by the sharded retrieval kernel (ref faiss k-NN=5,
     # src/Cerebro.cpp:460).
     top_k: int = 5
+    # Method A candidates PER QUERY handed to the geometric verifier.
+    # 1 = the reference's exact behavior (single argmax). >1 widens the
+    # frontier: each query's top-k distinct history hits that pass the
+    # temporal-consistency rule all become candidates, and geometric
+    # verification — not the argmax — decides. Trades verify compute for
+    # recall (the trade the reference's faiss methods exist to make,
+    # src/Cerebro.cpp:366-722).
+    candidates_per_query: int = 1
     # Hypothesis tracker (Method D equivalent, ref src/HypothesisManager.*).
     hypothesis_ttl: int = 20  # ref src/HypothesisManager.h:32
     hypothesis_locality: int = 7  # ref src/HypothesisManager.cpp:51

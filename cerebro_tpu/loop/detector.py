@@ -140,6 +140,105 @@ def temporal_consistency(
     return cands, new_state
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TopKState:
+    """Carry for the top-k detector: the top-k hit ids of the 2 newest
+    queries (the locality rule needs the neighbors' hit sets)."""
+
+    prev_idx: jax.Array  # (2, K) int32 global ids
+    prev_ok: jax.Array  # (2,) bool — those queries existed and were searchable
+
+
+def init_topk_state(k: int) -> TopKState:
+    return TopKState(
+        prev_idx=jnp.zeros((2, k), jnp.int32),
+        prev_ok=jnp.zeros((2,), bool),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def temporal_consistency_topk(
+    cfg: LoopConfig,
+    state: TopKState,
+    vals: jax.Array,  # (B, K) top-k scores per query, queries consecutive
+    idx: jax.Array,  # (B, K) top-k history global ids
+    global_idx: jax.Array,  # (B,)
+    searchable: jax.Array,  # (B,) bool
+    query_valid: jax.Array,  # (B,) bool
+) -> Tuple[LoopCandidates, TopKState]:
+    """Method A's locality rule generalized to k hits per query: hit (q, r)
+    agrees when ANY hit of query q-1 (and q-2 for consistency_frames=3)
+    lies within locality_threshold on the history axis. Near-duplicate hits
+    within one query (same ±locality neighborhood) are deduplicated to the
+    best-scoring one, so the verifier sees k DISTINCT revisit hypotheses —
+    the widened frontier the reference's faiss methods trade for
+    (src/Cerebro.cpp:366-722). Flattened (B*K,) candidates, row-major by
+    query.
+
+    Cross-batch carry mirrors temporal_consistency's 2-entry scheme, so
+    streamed and batched feeds emit identical candidates."""
+    B, K = vals.shape
+    loc = cfg.locality_threshold
+    vals = jnp.where(searchable[:, None], vals, similarity.NEG_INF)
+
+    all_idx = jnp.concatenate([state.prev_idx, idx])  # (B+2, K)
+    all_ok = jnp.concatenate([state.prev_ok, searchable])  # (B+2,)
+    p1, p2 = all_idx[1:-1], all_idx[:-2]  # (B, K) neighbors' hit sets
+    ok1, ok2 = all_ok[1:-1], all_ok[:-2]
+
+    def any_near(a, b):  # (B, K) x (B, K) -> (B, K): min over b's hits
+        return jnp.any(jnp.abs(a[:, :, None] - b[:, None, :]) < loc, axis=-1)
+
+    if cfg.consistency_frames <= 2:
+        agree = any_near(idx, p1) & ok1[:, None]
+        v_all = ok1
+    else:
+        agree = any_near(idx, p1) & any_near(idx, p2)
+        v_all = ok1 & ok2
+    agree = agree & v_all[:, None]
+
+    # within-query dedup: drop hit r when a strictly better hit (higher
+    # score, or equal score at a lower rank) sits within ±loc of it
+    near = jnp.abs(idx[:, :, None] - idx[:, None, :]) <= loc  # (B, K, K)
+    r = jnp.arange(K)
+    better = (vals[:, None, :] > vals[:, :, None]) | (
+        (vals[:, None, :] == vals[:, :, None]) & (r[None, None, :] < r[None, :, None])
+    )
+    dominated = jnp.any(near & better, axis=-1)  # (B, K)
+    keep = ~dominated & searchable[:, None]
+
+    strong = vals > cfg.dot_threshold
+    cands = LoopCandidates(
+        curr_idx=jnp.repeat(global_idx.astype(jnp.int32), K),
+        prev_idx=idx.reshape(-1),
+        score=vals.reshape(-1),
+        valid=(agree & keep & strong).reshape(-1),
+        agree=(agree & keep).reshape(-1),
+    )
+
+    # carry: hit sets of the last two REAL queries (partial-batch safe)
+    n_valid = jnp.sum(query_valid.astype(jnp.int32))
+    pos_last = jnp.clip(n_valid - 1, 0, B - 1) + 2
+    pos_prev = jnp.clip(n_valid - 2, -1, B - 1) + 2
+    slot0 = jnp.where(
+        n_valid >= 2,
+        all_idx[pos_prev],
+        jnp.where(n_valid == 1, state.prev_idx[1], state.prev_idx[0]),
+    )
+    slot1 = jnp.where(n_valid > 0, all_idx[pos_last], state.prev_idx[1])
+    ok0 = jnp.where(
+        n_valid >= 2,
+        all_ok[pos_prev],
+        jnp.where(n_valid == 1, state.prev_ok[1], state.prev_ok[0]),
+    )
+    okl = jnp.where(n_valid > 0, all_ok[pos_last], state.prev_ok[1])
+    new_state = TopKState(
+        prev_idx=jnp.stack([slot0, slot1]), prev_ok=jnp.stack([ok0, okl])
+    )
+    return cands, new_state
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
 def detect_batch(
     cfg: LoopConfig,

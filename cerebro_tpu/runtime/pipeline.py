@@ -169,6 +169,10 @@ class CerebroPipeline:
         from cerebro_tpu.loop.topk_methods import init_clique_state
 
         self.clique_state = init_clique_state(self.cfg.loop.top_k)
+        # Method-A top-k carry (candidates_per_query > 1)
+        self.topk_state = detector.init_topk_state(
+            max(self.cfg.loop.candidates_per_query, 1)
+        )
         # global id -> keyframe-store index (only described keyframes enter
         # the DB; the DB is a ring, so searches return GLOBAL ids and this
         # append-only map stays valid after eviction/wraparound)
@@ -320,6 +324,31 @@ class CerebroPipeline:
         cfg = self.cfg.loop
         method = cfg.method
 
+        if method == "A" and cfg.candidates_per_query > 1:
+            # top-k Method A: k distinct locality-consistent hits per query
+            # go to the verifier (geometry decides, not the argmax)
+            from cerebro_tpu.db.descriptors import query_limits
+            from cerebro_tpu.ops.similarity import search_topk
+
+            k = cfg.candidates_per_query
+            limits = query_limits(self.db, gidx, cfg.exclusion_window)
+            if self.mesh is not None:
+                from cerebro_tpu.parallel import sharded_topk
+
+                vals, idx = sharded_topk(
+                    descs, self.db.vectors, limits, self.db.global_ids,
+                    self.mesh, axis=self.cfg.mesh.axis_db, k=k,
+                )
+            else:
+                vals, idx = search_topk(
+                    descs, self.db.vectors, limits, self.db.global_ids, k=k
+                )
+            searchable = (limits > 0) & qvalid
+            cands, self.topk_state = detector.temporal_consistency_topk(
+                cfg, self.topk_state, vals, idx, gidx, searchable, qvalid
+            )
+            return ("A+", cands, n_valid, k)
+
         if method == "A":
             if self.cfg.loop.quantized:
                 cands, self.det_state = detector.detect_batch_quantized(
@@ -425,6 +454,38 @@ class CerebroPipeline:
                     (int(curr_g[k]), int(prev_g[k]), float(scores[k]))
                     for k in range(n_valid)
                     if valid[k]
+                ]
+            elif tag == "A+":
+                # top-k Method A: (B*K,) flattened hits, row-major by query
+                _, cands, n_valid, K = rec
+                valid = np.asarray(cands.valid)
+                scores = np.asarray(cands.score)
+                curr_g = np.asarray(cands.curr_idx)
+                prev_g = np.asarray(cands.prev_idx)
+                agree = np.asarray(cands.agree)
+                for q in range(n_valid):
+                    row = slice(q * K, (q + 1) * K)
+                    if valid[row].any():
+                        self._detection_marks.append(len(self._score_history))
+                    # rank-0 hit = the argmax Method A would have logged
+                    self._score_history.append(
+                        float(np.clip(scores[q * K], -1.0, 1.0))
+                    )
+                    if self.log_queries:
+                        for j in range(q * K, (q + 1) * K):
+                            if scores[j] > -1.0:  # skip masked hit slots
+                                self.query_log.append(
+                                    (
+                                        int(curr_g[j]),
+                                        int(prev_g[j]),
+                                        float(scores[j]),
+                                        bool(agree[j]),
+                                    )
+                                )
+                pairs = [
+                    (int(curr_g[j]), int(prev_g[j]), float(scores[j]))
+                    for j in range(n_valid * K)
+                    if valid[j]
                 ]
             elif tag == "C":
                 curr, prev, score, ok = (np.asarray(x) for x in rec[1])

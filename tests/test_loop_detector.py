@@ -131,3 +131,92 @@ def test_empty_and_single_query_batches_preserve_carry(rng):
         CFG, db, st, q, g, jnp.asarray(np.arange(8) < 1)
     )
     assert int(st_one.prev_arg[0]) == int(st.prev_arg[1])
+
+
+# ---------------------------------------------------------------------------
+# Top-k Method A (candidates_per_query > 1): k distinct locality-consistent
+# hits per query go to the verifier (VERDICT r2 #3 — widen the frontier)
+# ---------------------------------------------------------------------------
+
+
+def run_stream_topk(descs, batch=4, cfg=CFG, k=4):
+    from cerebro_tpu.db.descriptors import query_limits
+    from cerebro_tpu.ops.similarity import search_topk
+
+    n, d = descs.shape
+    db = ddb.create(1024, d, dtype=jnp.float32)
+    state = detector.init_topk_state(k)
+    found = []
+    for start in range(0, n, batch):
+        chunk = descs[start : start + batch]
+        nb = len(chunk)
+        pad = np.zeros((batch - nb, d), np.float32)
+        q = jnp.asarray(np.concatenate([chunk, pad]))
+        gidx = jnp.arange(start, start + batch, dtype=jnp.int32)
+        qvalid = jnp.asarray(np.arange(batch) < nb)
+        db = ddb.append(db, q, jnp.asarray(nb))
+        limits = query_limits(db, gidx, cfg.exclusion_window)
+        vals, idx = search_topk(q, db.vectors, limits, db.global_ids, k=k)
+        searchable = (limits > 0) & qvalid
+        cands, state = detector.temporal_consistency_topk(
+            cfg, state, vals, idx, gidx, searchable, qvalid
+        )
+        for j in range(nb * k):
+            if bool(cands.valid[j]):
+                found.append(
+                    (int(cands.curr_idx[j]), int(cands.prev_idx[j]),
+                     float(cands.score[j]))
+                )
+    return found
+
+
+def test_topk_no_false_positives_on_random_stream(rng):
+    descs = make_stream(rng, 160)
+    assert run_stream_topk(descs) == []
+
+
+def test_topk_batch_invariance(rng):
+    """Streamed (batch=1) and batched (batch=8) feeds emit identical
+    candidate sets — the carry crosses batch boundaries correctly."""
+    descs = make_stream(rng, 140, loop_at=121, loop_to=15)
+    f1 = run_stream_topk(descs, batch=1)
+    f8 = run_stream_topk(descs, batch=8)
+    assert {(c, p) for c, p, _ in f1} == {(c, p) for c, p, _ in f8}
+    assert len(f1) >= 1
+
+
+def test_topk_finds_multiple_laps(rng):
+    """A place visited on TWO prior laps: the argmax detector emits one
+    candidate per query (one lap); top-k emits candidates on both laps, so
+    the verifier sees both revisit hypotheses."""
+    descs = make_stream(rng, 240, loop_at=200, loop_to=10)
+    # second prior lap of the same place at frames 100..106
+    for i in range(6):
+        descs[100 + i] = unit(
+            descs[10 + i] + 0.02 * rng.normal(size=D)
+        ).astype(np.float32)
+    found = run_stream_topk(descs, k=4)
+    prevs = {p for c, p, _ in found if 200 <= c < 206}
+    hits_lap1 = any(5 <= p <= 22 for p in prevs)
+    hits_lap2 = any(95 <= p <= 112 for p in prevs)
+    assert hits_lap1 and hits_lap2, sorted(prevs)
+    # argmax-only run for contrast: at most one lap per query
+    found_a = run_stream(descs)
+    prevs_a = {p for c, p, _ in found_a if 200 <= c < 206}
+    assert not (
+        any(5 <= p <= 22 for p in prevs_a) and any(95 <= p <= 112 for p in prevs_a)
+    )
+
+
+def test_topk_dedups_within_neighborhood(rng):
+    """Hits of one query within ±locality collapse to the best one: the
+    verifier must see distinct hypotheses, not k copies of the same place."""
+    descs = make_stream(rng, 140, loop_at=120, loop_to=10)
+    found = run_stream_topk(descs, k=4)
+    by_query = {}
+    for c, p, s in found:
+        by_query.setdefault(c, []).append(p)
+    for c, ps in by_query.items():
+        ps = sorted(ps)
+        for a, b in zip(ps, ps[1:]):
+            assert b - a > CFG.locality_threshold, (c, ps)

@@ -162,3 +162,41 @@ def test_pipeline_detects_revisit_with_ported_weights(tmp_path):
         # every candidate pairs a revisit frame with its original
         assert c.idx_curr >= 10 and c.idx_prev <= 5, c
         assert c.score > 0.85, c
+
+
+def test_centered_input_collapses_flagship(ported):
+    """Locks in the raw-vs-centered analysis (VERDICT r2 #10): the reference
+    SERVER normalizes every model's input to (im-128)*2/255
+    (scripts/whole_image_desc_compute_server.py:629), but the flagship
+    mobilenet_conv7_allpairloss checkpoint's conv1_bn running stats are
+    sized for RAW [0,255] pixels (mean ~1.5e3, var ~3e6). Fed centered
+    input, the descriptors collapse — every image maps to nearly the same
+    vector, destroying place separation — so this port deliberately
+    deviates from the reference-as-deployed and feeds raw pixels. See
+    PARITY.md "Raw vs centered input"."""
+    params, _ = ported
+    gh = _grace_hopper()
+    rng = np.random.default_rng(7)
+    batch = np.stack(
+        [
+            gh[0:160, 0:224],  # a real place
+            gh[-160:, -224:],  # different content
+            rng.integers(0, 256, (160, 224, 3)),  # noise
+        ]
+    ).astype(np.uint8)
+    d_raw = np.asarray(
+        ported_forward(params, jnp.asarray(batch), dtype=jnp.float32,
+                       input_scale="raw")
+    )
+    d_cen = np.asarray(
+        ported_forward(params, jnp.asarray(batch), dtype=jnp.float32,
+                       input_scale="m1to1")
+    )
+    S_raw = d_raw @ d_raw.T
+    S_cen = d_cen @ d_cen.T
+    off_raw = [S_raw[0, 1], S_raw[0, 2], S_raw[1, 2]]
+    off_cen = [S_cen[0, 1], S_cen[0, 2], S_cen[1, 2]]
+    # raw input: distinct content separates
+    assert max(off_raw) < 0.7, S_raw
+    # centered input: everything collapses onto one direction
+    assert min(off_cen) > 0.95, S_cen
