@@ -208,6 +208,12 @@ def run(n_frames: int, laps: float, cpu: bool, descriptor: str, out: str | None,
         prof = pipe_p.timer.stats()
 
     # --- pass 2: engine-only throughput (fully asynchronous) --------------
+    if profile_frames <= 0:
+        # ensure pass 2 never pays XLA compilation inside the timed window
+        # (the profile pass doubles as warmup when enabled): run two batches
+        # through a throwaway pipeline with identical shapes
+        warm = CerebroPipeline(cfg, rig=ren.rig(), body_T_cam=sw.body_T_cam())
+        stream(warm, seq, frames, min(2 * cfg.runtime.descriptor_batch, n_frames))
     pipe = CerebroPipeline(cfg, rig=ren.rig(), body_T_cam=sw.body_T_cam())
     pipe.log_queries = True
     stream_wall = stream(pipe, seq, frames, n_frames)

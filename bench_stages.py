@@ -84,7 +84,11 @@ def bench_describe(reps: int = 10, batch: int = 32):
     }
 
 
-def bench_verify(reps: int = 4, batch: int = 8):
+def bench_verify(reps: int = 3, batches=(4, 8, 16, 32)):
+    """verify_pair_batch throughput vs device batch, pushed until pairs/s
+    saturates (VERDICT r2 #5). Compile time is reported separately per
+    batch size — steady-state pairs/s excludes it (a long-running engine
+    compiles once)."""
     import dataclasses
 
     import jax
@@ -102,37 +106,55 @@ def bench_verify(reps: int = 4, batch: int = 8):
         gms_factor=4.0, min_matches_accept=200,
     )
     rng = np.random.default_rng(0)
+    max_b = max(batches)
     # pairs: same place with a small offset (verifiable) at random spots
     pool = []
     for r in range(reps):
         las, ras, lbs, rbs = [], [], [], []
-        for k in range(batch):
+        for k in range(max_b):
             x, y = rng.uniform(-7, 7, 2)
             la, ra = ren.stereo(x, y)
             lb, rb = ren.stereo(x + 0.1, y + 0.05)
             las.append(la); ras.append(ra); lbs.append(lb); rbs.append(rb)
         pool.append(tuple(jnp.asarray(np.stack(v), jnp.float32) for v in (las, ras, lbs, rbs)))
 
-    keys = jax.random.split(jax.random.PRNGKey(0), reps)
-
-    # gate: batch of same-place pairs must verify with small translation
-    res = verify_pair_batch(cfg, keys[0], *pool[0], rig)
-    acc = np.asarray(res.accepted)
-    assert acc.mean() >= 0.5, f"verify gate: only {acc.mean():.2f} accepted"
-    t_norm = np.linalg.norm(np.asarray(res.T_b_a)[:, :3, 3], axis=1)
-    assert (t_norm[acc] < 0.5).all(), t_norm
-
-    t0 = time.perf_counter()
-    last = None
-    for r in range(reps):
-        last = verify_pair_batch(cfg, keys[r], *pool[r], rig)
-    _ = np.asarray(last.accepted)
-    dt = time.perf_counter() - t0
+    sweep = []
+    gate = None
+    for batch in batches:
+        keys = jax.random.split(jax.random.PRNGKey(batch), reps)
+        pb = [tuple(x[:batch] for x in p) for p in pool]
+        t0 = time.perf_counter()
+        res = verify_pair_batch(cfg, keys[0], *pb[0], rig)
+        jax.block_until_ready(res.accepted)
+        compile_s = time.perf_counter() - t0
+        if gate is None:
+            # gate: same-place pairs must verify with small translation
+            acc = np.asarray(res.accepted)
+            assert acc.mean() >= 0.5, f"verify gate: only {acc.mean():.2f}"
+            t_norm = np.linalg.norm(np.asarray(res.T_b_a)[:, :3, 3], axis=1)
+            assert (t_norm[acc] < 0.5).all(), t_norm
+            gate = {"accept_rate": round(float(acc.mean()), 3)}
+        t0 = time.perf_counter()
+        last = None
+        for r in range(reps):
+            last = verify_pair_batch(cfg, keys[r], *pb[r], rig)
+        _ = np.asarray(last.accepted)
+        dt = time.perf_counter() - t0
+        sweep.append(
+            {
+                "batch": batch,
+                "pairs_per_s": round(reps * batch / dt, 2),
+                "ms_per_pair": round(dt / (reps * batch) * 1e3, 1),
+                "compile_s_first_call": round(compile_s, 1),
+            }
+        )
+    best = max(sweep, key=lambda r: r["pairs_per_s"])
     return {
-        "pairs_per_s": round(reps * batch / dt, 2),
-        "ms_per_pair": round(dt / (reps * batch) * 1e3, 1),
-        "batch": batch,
-        "gate": {"accept_rate": round(float(acc.mean()), 3)},
+        "sweep": sweep,
+        "best_batch": best["batch"],
+        "pairs_per_s": best["pairs_per_s"],
+        "ms_per_pair": best["ms_per_pair"],
+        "gate": gate,
     }
 
 
@@ -194,7 +216,10 @@ def main():
     report["retrieval"] = bench_retrieval(
         n_rows=4096 if args.quick else 29184, reps=5 if args.quick else 30
     )
-    report["verify"] = bench_verify(reps=2 if args.quick else 4)
+    report["verify"] = bench_verify(
+        reps=2 if args.quick else 3,
+        batches=(2, 4) if args.quick else (4, 8, 16, 32),
+    )
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     for k, v in report.items():

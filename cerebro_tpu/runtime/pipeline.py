@@ -95,6 +95,20 @@ class RawCandidate:
     score: float
 
 
+@dataclasses.dataclass
+class RejectedCandidate:
+    """A candidate that failed geometric verification, with the failing
+    gate — the payload the reference renders into its reject debug images
+    (src/Visualization.cpp:75-225). Rejections are where verification bugs
+    live; dump_debug renders these with a red banner + reason."""
+
+    idx_curr: int
+    idx_prev: int
+    score: float
+    reason: str
+    n_matches: int
+
+
 class CerebroPipeline:
     def __init__(
         self,
@@ -181,6 +195,9 @@ class CerebroPipeline:
         self._pending_desc: List[int] = []  # store indices awaiting description
         self.shed_descriptors = 0  # keyframes whose description was shed under load
         self._candidates: List[RawCandidate] = []  # awaiting verification
+        # verification rejections with the failing gate (bounded ring)
+        self.rejected_candidates: List[RejectedCandidate] = []
+        self._max_rejected = 256
         # Detection results still on device. The detect path never blocks on
         # the chip: each batch appends its (device-array) results here and
         # the host materializes them lazily — at verify/status/export time —
@@ -606,14 +623,51 @@ class CerebroPipeline:
     def _emit_edges(self, cands: List[RawCandidate], res) -> int:
         """Turn accepted batched VerifiedLoop entries into LoopEdges.
         with a := prev, b := curr, res.T_b_a[p] = curr_T_prev; the edge
-        stores prev_T_curr (pose of curr in prev's frame)."""
+        stores prev_T_curr (pose of curr in prev's frame). Rejections are
+        recorded with the failing gate (ref renders exactly these,
+        src/Visualization.cpp:75-225)."""
         accepted = np.asarray(res.accepted)
         T_all = np.asarray(res.T_b_a)
         conf = np.asarray(jnp.max(res.confidences, axis=-1))
         nm = np.asarray(res.n_matches)
+        consistent = np.asarray(res.consistent)
+        opt_ok = np.asarray(res.option_success)
+        vcfg = self.cfg.verify
         n = 0
         for p, cand in enumerate(cands):
             if not accepted[p]:
+                if int(nm[p]) < vcfg.min_matches_attempt:
+                    reason = (
+                        f"too few matches ({int(nm[p])} < "
+                        f"{vcfg.min_matches_attempt} attempt gate)"
+                    )
+                elif not opt_ok[p].all():
+                    failed = [
+                        name
+                        for name, ok in zip("ABC", opt_ok[p])
+                        if not ok
+                    ]
+                    reason = f"RANSAC failure (option {'/'.join(failed)})"
+                elif not consistent[p]:
+                    reason = (
+                        f"pose consistency ({vcfg.consistency_deg:g} deg / "
+                        f"{vcfg.consistency_m:g} m 3-way gate)"
+                    )
+                else:
+                    reason = (
+                        f"match count {int(nm[p])} <= "
+                        f"{vcfg.min_matches_accept} accept gate"
+                    )
+                self.rejected_candidates.append(
+                    RejectedCandidate(
+                        idx_curr=cand.idx_curr,
+                        idx_prev=cand.idx_prev,
+                        score=cand.score,
+                        reason=reason,
+                        n_matches=int(nm[p]),
+                    )
+                )
+                del self.rejected_candidates[: -self._max_rejected]
                 continue
             self.loop_edges.append(
                 LoopEdge(
@@ -758,11 +812,15 @@ class CerebroPipeline:
             threshold=self.cfg.loop.dot_threshold,
         )
 
-    def dump_debug(self, directory: str) -> None:
+    def dump_debug(self, directory: str, max_rejected: int = 32) -> None:
         """End-of-run debug dump (parity: the reference's __LOGGING__ block,
         src/cerebro_node.cpp:613-839 — JSON state + per-candidate annotated
-        image pairs): status.json, loop_edges.json, trajectory render, and a
-        side-by-side match image per accepted loop edge."""
+        image pairs): status.json, loop_edges.json, rejections.json,
+        trajectory render, a side-by-side match image per accepted loop edge
+        AND per rejected candidate with the failing gate in a red banner
+        (ref renders precisely the rejected pairs, src/Visualization.cpp:
+        75-225 — rejections are where verification bugs live). Images are
+        written as viewable PNGs (plus .npy for programmatic use)."""
         import json
         import os
 
@@ -770,13 +828,31 @@ class CerebroPipeline:
         from cerebro_tpu.utils.plot import side_by_side_matches, trajectory_topdown
 
         os.makedirs(directory, exist_ok=True)
+
+        def save_img(name, img):
+            np.save(os.path.join(directory, name + ".npy"), img)
+            try:
+                import cv2
+
+                cv2.imwrite(
+                    os.path.join(directory, name + ".png"),
+                    np.asarray(img)[..., ::-1],  # RGB -> BGR
+                )
+            except ImportError:
+                pass
+
         with open(os.path.join(directory, "status.json"), "w") as f:
             json.dump(self.status(), f, indent=2)
         with open(os.path.join(directory, "loop_edges.json"), "w") as f:
             json.dump([e.as_json() for e in self.loop_edges], f, indent=2)
+        with open(os.path.join(directory, "rejections.json"), "w") as f:
+            json.dump(
+                [dataclasses.asdict(r) for r in self.rejected_candidates],
+                f, indent=2,
+            )
 
         if self.score_history:
-            np.save(os.path.join(directory, "score_curve.npy"), self.render_scores())
+            save_img("score_curve", self.render_scores())
         traj = self.optimize_trajectory()
         if traj is not None:
             img = trajectory_topdown(
@@ -785,13 +861,13 @@ class CerebroPipeline:
                 loop_pairs=[(e.idx_prev, e.idx_curr) for e in self.loop_edges],
             )
             np.save(os.path.join(directory, "trajectory.npy"), traj)
-            np.save(os.path.join(directory, "trajectory_render.npy"), img)
+            save_img("trajectory_render", img)
 
-        for k, e in enumerate(self.loop_edges):
-            la = self.images.get("left", e.idx_curr)
-            lb = self.images.get("left", e.idx_prev)
+        def render_pair(name, idx_curr, idx_prev, accepted, banner):
+            la = self.images.get("left", idx_curr)
+            lb = self.images.get("left", idx_prev)
             if la is None or lb is None:
-                continue
+                return
             m = features.match_image_pair(
                 jnp.asarray(la, jnp.float32),
                 jnp.asarray(lb, jnp.float32),
@@ -800,13 +876,26 @@ class CerebroPipeline:
                 oriented=self.cfg.verify.oriented_matching,
                 scales=self.cfg.verify.scale_banks,
             )
-            img = side_by_side_matches(
-                la, lb,
-                np.asarray(m.xy_a), np.asarray(m.xy_b), np.asarray(m.valid),
-                accepted=True,
-                banner=f"edge {e.idx_prev}->{e.idx_curr}",
+            save_img(
+                name,
+                side_by_side_matches(
+                    la, lb,
+                    np.asarray(m.xy_a), np.asarray(m.xy_b), np.asarray(m.valid),
+                    accepted=accepted,
+                    banner=banner,
+                ),
             )
-            np.save(os.path.join(directory, f"pair_{k:04d}.npy"), img)
+
+        for k, e in enumerate(self.loop_edges):
+            render_pair(
+                f"pair_{k:04d}", e.idx_curr, e.idx_prev, True,
+                f"ACCEPT edge {e.idx_prev}->{e.idx_curr}  n={e.n_matches}",
+            )
+        for k, r in enumerate(self.rejected_candidates[-max_rejected:]):
+            render_pair(
+                f"reject_{k:04d}", r.idx_curr, r.idx_prev, False,
+                f"REJECT {r.idx_prev}->{r.idx_curr}: {r.reason}",
+            )
 
     def status(self) -> dict:
         return {
@@ -817,6 +906,7 @@ class CerebroPipeline:
             "pending_descriptors": len(self._pending_desc),
             "pending_candidates": len(self.candidates),
             "loop_edges": len(self.loop_edges),
+            "rejected_candidates": len(self.rejected_candidates),
             "kidnap": self.kidnap.info(),
             "timings_ms": self.timer.stats(),
         }

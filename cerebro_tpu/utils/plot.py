@@ -84,12 +84,25 @@ def side_by_side_matches(
     a = _to_rgb(np.asarray(img_a))
     b = _to_rgb(np.asarray(img_b))
     H = max(a.shape[0], b.shape[0])
-    strip = 12
+    strip = 18
     out = np.tile(_BG, (H + strip, a.shape[1] + b.shape[1], 1))
     out[strip : strip + a.shape[0], : a.shape[1]] = a
     out[strip : strip + b.shape[0], a.shape[1] :] = b
     if accepted is not None:
         out[:strip, :] = [40, 180, 60] if accepted else [200, 50, 50]
+    if banner:
+        # the reference stamps the accept/reject reason onto the debug image
+        # (src/Visualization.cpp:75-225); do the same when cv2 is available
+        try:
+            import cv2
+
+            out = np.ascontiguousarray(out)
+            cv2.putText(
+                out, banner, (4, strip - 5), cv2.FONT_HERSHEY_SIMPLEX,
+                0.38, (255, 255, 255), 1, cv2.LINE_AA,
+            )
+        except ImportError:
+            pass
     off = a.shape[1]
     for k in np.nonzero(np.asarray(valid))[0][:200]:
         x0, y0 = int(xy_a[k, 0]), int(xy_a[k, 1]) + strip

@@ -200,9 +200,18 @@ def test_dump_debug_writes_artifacts(tmp_path, scene):
 
     files = set(os.listdir(out))
     assert "status.json" in files and "loop_edges.json" in files
+    assert "rejections.json" in files
     assert "trajectory.npy" in files and "trajectory_render.npy" in files
+    # operator-viewable PNGs, not just .npy blobs (VERDICT r2 #8)
+    assert "trajectory_render.png" in files
     if pipe.loop_edges:
-        assert any(f.startswith("pair_") for f in files)
+        assert any(f.startswith("pair_") and f.endswith(".png") for f in files)
+    if pipe.rejected_candidates:
+        assert any(f.startswith("reject_") and f.endswith(".png") for f in files)
+        import json as _json
+
+        rej = _json.load(open(out / "rejections.json"))
+        assert all(r["reason"] for r in rej)
 
 
 def test_pipeline_depth_camera_mode(tmp_path, scene):
