@@ -87,7 +87,7 @@ def init_clique_state(k: int, window: int = CLIQUE_WINDOW) -> CliqueState:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_cliques", "threshold"))
+@functools.partial(jax.jit, static_argnames=("cfg", "threshold", "min_support"))
 def clique_topk_candidates(
     cfg: LoopConfig,
     state: CliqueState,
@@ -96,61 +96,53 @@ def clique_topk_candidates(
     query_idx: jax.Array,  # (Q,)
     query_valid: jax.Array,  # (Q,)
     threshold: float = 0.85,
-    n_cliques: int = 1,
+    min_support: int | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, CliqueState]:
-    """Method C. Merge all windowed hits (carry + this batch) into
-    history-axis cliques of width ±hypothesis_locality; return the top
-    clique center(s).
+    """Method C, PER QUERY: for each query q, merge the top-k hits of the W
+    newest queries ending at q (carry + this batch) into history-axis
+    cliques of width ±hypothesis_locality and emit the best-supported
+    clique's center — one candidate slot per query, like the reference's
+    per-tick digest over its 4-frame accumulation window
+    (src/Cerebro.cpp:506-722). A clique fires when its hit count reaches
+    ``min_support`` (default cfg.hypothesis_promote, mirroring Method A's
+    3-consecutive rule) and its best dot beats ``threshold``.
 
-    Returns (curr (n,), prev (n,), score (n,), valid (n,), new_state)."""
+    Streaming-equivalent: row q's window sees exactly the hits a streamed
+    run would hold in its carry; invalid (padded) queries contribute no
+    hits. Returns (curr (Q,), prev (Q,), score (Q,), valid (Q,), state)."""
     Q, k = topk_vals.shape
     loc = cfg.hypothesis_locality
+    ms = cfg.hypothesis_promote if min_support is None else min_support
+    W = state.idx.shape[0] + 1  # carry holds W-1 rows
 
     batch_ok = (topk_vals > threshold) & query_valid[:, None]
-    flat_idx = jnp.concatenate([state.idx, topk_idx]).reshape(-1)
-    flat_val = jnp.concatenate([state.val, topk_vals]).reshape(-1)
-    flat_ok = jnp.concatenate([state.ok, batch_ok]).reshape(-1)
-
-    # support of hit h = number of other hits within +-loc on the history axis
-    d = jnp.abs(flat_idx[:, None] - flat_idx[None, :]) <= loc
-    d = d & flat_ok[None, :] & flat_ok[:, None]
-    support = jnp.sum(d.astype(jnp.int32), axis=1)
-
-    # greedy top-n clique extraction with suppression
-    def pick(carry, _):
-        sup, = carry
-        c = jnp.argmax(sup)
-        c_ok = sup[c] > 0
-        center = flat_idx[c]
-        # suppress the clique's hits
-        in_clique = jnp.abs(flat_idx - center) <= loc
-        sup = jnp.where(in_clique, 0, sup)
-        # clique score = max dot within it
-        score = jnp.max(jnp.where(in_clique & flat_ok, flat_val, -jnp.inf))
-        return (sup,), (center, score, c_ok)
-
-    (_,), (centers, scores, oks) = jax.lax.scan(
-        pick, (support,), None, length=n_cliques
-    )
-    # attribute cliques to the newest VALID query (partial batches pad
-    # query_idx past the appended rows — indexing [-1] blindly would point
-    # at a frame that does not exist yet)
-    last_valid = jnp.max(jnp.where(query_valid, query_idx, -1))
-    curr = jnp.broadcast_to(last_valid, centers.shape)
-    valid = oks & (scores > threshold) & (last_valid >= 0)
-
-    # Carry the newest W-1 REAL queries' hits across the batch boundary.
-    w1 = state.idx.shape[0]
-    all_idx = jnp.concatenate([state.idx, topk_idx])
+    all_idx = jnp.concatenate([state.idx, topk_idx])  # (W-1+Q, k)
     all_val = jnp.concatenate([state.val, topk_vals])
     all_ok = jnp.concatenate([state.ok, batch_ok])
-    # rows of `all_*`: [carry (w1), batch (Q)]; real rows are carry rows
-    # (always real) plus the first n_valid batch rows.
+
+    # (Q, W*k) rolling windows: row q sees queries q-W+1 .. q
+    wi = jnp.stack([all_idx[i : i + Q] for i in range(W)], 1).reshape(Q, W * k)
+    wv = jnp.stack([all_val[i : i + Q] for i in range(W)], 1).reshape(Q, W * k)
+    wo = jnp.stack([all_ok[i : i + Q] for i in range(W)], 1).reshape(Q, W * k)
+
+    # support of hit h = number of window hits within ±loc on the history axis
+    near = jnp.abs(wi[:, :, None] - wi[:, None, :]) <= loc
+    support = jnp.sum(near & wo[:, None, :] & wo[:, :, None], axis=-1)
+    support = jnp.where(wo, support, 0)  # (Q, W*k)
+
+    best = jnp.argmax(support, axis=-1)  # (Q,)
+    center = jnp.take_along_axis(wi, best[:, None], 1)[:, 0]
+    supp = jnp.take_along_axis(support, best[:, None], 1)[:, 0]
+    in_clique = (jnp.abs(wi - center[:, None]) <= loc) & wo
+    score = jnp.max(jnp.where(in_clique, wv, -jnp.inf), axis=-1)
+    valid = (supp >= ms) & (score > threshold) & query_valid
+
+    # Carry the newest W-1 REAL queries' hits across the batch boundary.
+    w1 = W - 1
     n_valid = jnp.sum(query_valid.astype(jnp.int32))
-    end = w1 + n_valid  # exclusive end of real rows
-    take = jnp.clip(end - w1, 0, None) + jnp.arange(w1)  # last w1 real rows
+    take = jnp.clip(n_valid, 0, None) + jnp.arange(w1)  # last w1 real rows
     take = jnp.clip(take, 0, w1 + Q - 1)
     new_state = CliqueState(
         idx=all_idx[take], val=all_val[take], ok=all_ok[take]
     )
-    return curr, centers, scores, valid, new_state
+    return query_idx, center, score, valid, new_state

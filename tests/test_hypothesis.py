@@ -174,11 +174,14 @@ def test_clique_topk_method():
     )
     q = jnp.arange(200, 204, dtype=jnp.int32)
     curr, prev, score, ok, _ = clique_topk_candidates(
-        CFG, init_clique_state(5), vals, idx, q, jnp.ones(4, bool), n_cliques=1
+        CFG, init_clique_state(5), vals, idx, q, jnp.ones(4, bool)
     )
-    assert bool(ok[0])
-    assert abs(int(prev[0]) - 42) <= CFG.hypothesis_locality
-    assert int(curr[0]) == 203
+    # per-query emission: the first query has no window support yet
+    # (min_support = hypothesis_promote = 3); later queries fire
+    assert not bool(ok[0])
+    assert bool(ok[-1])
+    assert abs(int(prev[-1]) - 42) <= CFG.hypothesis_locality
+    assert int(curr[-1]) == 203
 
 
 def test_clique_carry_spans_batch_boundary():
@@ -217,3 +220,39 @@ def test_hypothesis_slot_reuse_resets_emitted_latch():
     # builds support and must emit AGAIN
     t, emits2, *_ = feed(t, [(300 + i, 900 + i, 0.95) for i in range(6)], 4)
     assert np.asarray(emits2).any(), "recycled slot failed to re-emit"
+
+
+def test_clique_streamed_vs_batched_equivalence():
+    """Per-query Method C must emit the same candidates whether hits arrive
+    one query at a time or in one batch (the reference streams; batch
+    boundaries must be invisible)."""
+    from cerebro_tpu.loop.topk_methods import clique_topk_candidates, init_clique_state
+
+    rng = np.random.default_rng(3)
+    Q, k = 12, 5
+    idx = rng.integers(0, 120, (Q, k)).astype(np.int32)
+    idx[4:9, 0] = [40, 41, 43, 40, 42]  # persistent near-40 clique
+    vals = rng.uniform(0.2, 0.6, (Q, k)).astype(np.float32)
+    vals[4:9, 0] = 0.92
+    q = jnp.arange(300, 300 + Q, dtype=jnp.int32)
+
+    curr_b, prev_b, score_b, ok_b, _ = clique_topk_candidates(
+        CFG, init_clique_state(k), jnp.asarray(vals), jnp.asarray(idx),
+        q, jnp.ones(Q, bool),
+    )
+    ok_s, prev_s = [], []
+    st = init_clique_state(k)
+    ones1 = jnp.ones(1, bool)
+    for j in range(Q):
+        _, p, _, o, st = clique_topk_candidates(
+            CFG, st, jnp.asarray(vals[j : j + 1]), jnp.asarray(idx[j : j + 1]),
+            q[j : j + 1], ones1,
+        )
+        ok_s.append(bool(o[0]))
+        prev_s.append(int(p[0]))
+    np.testing.assert_array_equal(np.asarray(ok_b), ok_s)
+    # centers must agree wherever a candidate fired
+    for j in range(Q):
+        if ok_s[j]:
+            assert int(prev_b[j]) == prev_s[j], (j, int(prev_b[j]), prev_s[j])
+    assert any(ok_s), "fixture never fired"
