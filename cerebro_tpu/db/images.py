@@ -7,16 +7,21 @@ reloaded on demand with a hit-count cache (ref states AVAILABLE_ON_RAM /
 ON_DISK / UNAVAILABLE / ON_RAM_DUETO_HIT, src/ImageDataManager.h:41;
 reload TTL 10 hits, src/ImageDataManager.cpp:155).
 
-Differences by design: compressed .npz instead of JPG (no OpenCV
-dependency; lossless), and a single-writer access pattern (the ingest loop)
-instead of mutex-guarded multi-thread access — the known deadlock landmine
-at ref src/ImageDataManager.cpp:445 does not exist here.
+Differences by design: uncompressed .npz instead of JPG (lossless; zlib on
+the ingest hot path measured ~5 ms/frame — a third of the whole per-frame
+budget), stash WRITES run on a background writer thread (the reference
+likewise writes JPGs off its callback threads), and a single-writer access
+pattern (the ingest loop) for all state mutation — the known deadlock
+landmine at ref src/ImageDataManager.cpp:445 does not exist here. Reads of
+not-yet-flushed stashes are served from the in-flight buffer.
 """
 
 from __future__ import annotations
 
 import os
+import queue
 import shutil
+import threading
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -28,16 +33,62 @@ UNAVAILABLE = "unavailable"
 
 
 class ImageStore:
-    def __init__(self, stash_dir: str = "/tmp/cerebro_tpu_stash", cache_ttl: int = 10):
+    def __init__(
+        self,
+        stash_dir: str = "/tmp/cerebro_tpu_stash",
+        cache_ttl: int = 10,
+        async_writes: bool = True,
+    ):
         self.stash_dir = stash_dir
         self.cache_ttl = cache_ttl
+        self.async_writes = async_writes
         self._ram: Dict[Tuple[str, int], np.ndarray] = {}
         self._state: Dict[Tuple[str, int], str] = {}
         self._hits: Dict[Tuple[str, int], int] = {}
+        # stash writes in flight: readable until the writer lands them
+        self._pending: Dict[Tuple[str, int], np.ndarray] = {}
+        self._pending_lock = threading.Lock()
+        self._queue: "queue.Queue" = queue.Queue()
+        self._writer: Optional[threading.Thread] = None
+        self._writer_error: Optional[BaseException] = None
         os.makedirs(stash_dir, exist_ok=True)
 
     def _path(self, ns: str, idx: int) -> str:
         return os.path.join(self.stash_dir, f"{ns}__{idx}.npz")
+
+    # -- background writer ------------------------------------------------
+
+    def _ensure_writer(self):
+        if self._writer is None or not self._writer.is_alive():
+            self._writer = threading.Thread(target=self._writer_loop, daemon=True)
+            self._writer.start()
+
+    def _writer_loop(self):
+        while True:
+            key = self._queue.get()
+            try:
+                if key is None:
+                    return
+                with self._pending_lock:
+                    img = self._pending.get(key)
+                if img is None:
+                    continue  # cancelled by remove()
+                try:
+                    np.savez(self._path(*key), img=img)  # uncompressed
+                except BaseException as e:  # surfaced on flush_writes()
+                    self._writer_error = e
+                with self._pending_lock:
+                    self._pending.pop(key, None)
+            finally:
+                self._queue.task_done()
+
+    def flush_writes(self):
+        """Block until every queued stash write has landed on disk."""
+        if self._writer is not None:
+            self._queue.join()
+        if self._writer_error is not None:
+            err, self._writer_error = self._writer_error, None
+            raise err
 
     # -- writes ---------------------------------------------------------
 
@@ -47,20 +98,31 @@ class ImageStore:
         self._state[(ns, idx)] = AVAILABLE_ON_RAM
 
     def stash(self, ns: str, idx: int):
-        """RAM -> disk (ref stashImage: keyframes leaving the RAM window)."""
+        """RAM -> disk (ref stashImage: keyframes leaving the RAM window).
+        The write itself happens on the writer thread; the image stays
+        readable from the in-flight buffer meanwhile."""
         key = (ns, idx)
-        if self._state.get(key) in (AVAILABLE_ON_RAM, ON_RAM_DUETO_HIT):
-            np.savez_compressed(self._path(ns, idx), img=self._ram[key])
-            del self._ram[key]
-            self._hits.pop(key, None)
-            self._state[key] = ON_DISK
+        if self._state.get(key) not in (AVAILABLE_ON_RAM, ON_RAM_DUETO_HIT):
+            return
+        img = self._ram.pop(key)
+        self._hits.pop(key, None)
+        self._state[key] = ON_DISK
+        if self.async_writes:
+            self._ensure_writer()
+            with self._pending_lock:
+                self._pending[key] = img
+            self._queue.put(key)
+        else:
+            np.savez(self._path(ns, idx), img=img)
 
     def remove(self, ns: str, idx: int):
         """Drop entirely (ref rmImage: non-keyframes)."""
         key = (ns, idx)
         self._ram.pop(key, None)
         self._hits.pop(key, None)
-        if self._state.get(key) == ON_DISK:
+        with self._pending_lock:
+            cancelled = self._pending.pop(key, None) is not None
+        if self._state.get(key) == ON_DISK and not cancelled:
             try:
                 os.remove(self._path(ns, idx))
             except FileNotFoundError:
@@ -83,6 +145,10 @@ class ImageStore:
                     return img
             return self._ram[key]
         if state == ON_DISK:
+            with self._pending_lock:
+                pending = self._pending.get(key)
+            if pending is not None:
+                return pending  # write still in flight
             img = np.load(self._path(ns, idx))["img"]
             self._ram[key] = img
             self._state[key] = ON_RAM_DUETO_HIT
@@ -103,6 +169,7 @@ class ImageStore:
         """Flush everything to disk (ref stashAll, checkpoint path)."""
         for key in list(self._ram.keys()):
             self.stash(*key)
+        self.flush_writes()
 
     def save_to(self, directory: str):
         """Persist the whole stash for teach-and-repeat (ref: mv

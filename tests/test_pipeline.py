@@ -157,6 +157,9 @@ def test_image_store_ram_disk_cycle(tmp_path):
     assert store.state_of("left", 0) == "ram"
     store.stash("left", 0)
     assert store.state_of("left", 0) == "disk"
+    # while the write is in flight, reads come from the pending buffer
+    np.testing.assert_array_equal(store.get("left", 0), img)
+    store.flush_writes()  # land the write; reload path takes over
     out = store.get("left", 0)
     np.testing.assert_array_equal(out, img)
     assert store.state_of("left", 0) == "ram_hit"
