@@ -151,15 +151,14 @@ def test_pipeline_kidnap_segments_worlds(tmp_path, scene):
 
 
 def test_image_store_ram_disk_cycle(tmp_path):
-    store = ImageStore(stash_dir=str(tmp_path / "s"), cache_ttl=3)
+    # synchronous writes: the TTL reload cycle is deterministic
+    store = ImageStore(stash_dir=str(tmp_path / "s"), cache_ttl=3,
+                       async_writes=False)
     img = np.random.default_rng(0).integers(0, 255, (32, 32)).astype(np.uint8)
     store.put("left", 0, img)
     assert store.state_of("left", 0) == "ram"
     store.stash("left", 0)
     assert store.state_of("left", 0) == "disk"
-    # while the write is in flight, reads come from the pending buffer
-    np.testing.assert_array_equal(store.get("left", 0), img)
-    store.flush_writes()  # land the write; reload path takes over
     out = store.get("left", 0)
     np.testing.assert_array_equal(out, img)
     assert store.state_of("left", 0) == "ram_hit"
@@ -168,6 +167,27 @@ def test_image_store_ram_disk_cycle(tmp_path):
     assert store.state_of("left", 0) == "disk"
     store.remove("left", 0)
     assert store.get("left", 0) is None
+
+
+def test_image_store_async_stash_readable(tmp_path):
+    """Async stash (the default): the image stays readable while the write
+    is in flight, lands after flush, and remove() cancels queued writes."""
+    store = ImageStore(stash_dir=str(tmp_path / "sa"), cache_ttl=3)
+    img = np.random.default_rng(1).integers(0, 255, (16, 16)).astype(np.uint8)
+    store.put("left", 0, img)
+    store.stash("left", 0)
+    assert store.state_of("left", 0) == "disk"
+    np.testing.assert_array_equal(store.get("left", 0), img)  # any stage
+    store.flush_writes()
+    np.testing.assert_array_equal(store.get("left", 0), img)
+    store.remove("left", 0)
+    assert store.get("left", 0) is None
+    # cancel path: stash then remove before flushing
+    store.put("right", 1, img)
+    store.stash("right", 1)
+    store.remove("right", 1)
+    store.flush_writes()
+    assert store.get("right", 1) is None
 
 
 def test_image_store_save_load_roundtrip(tmp_path):
