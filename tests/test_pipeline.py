@@ -445,3 +445,40 @@ def test_ingestion_past_db_capacity(tmp_path):
     pipe.flush_descriptors()
     for c in pipe.candidates:
         assert c.idx_prev >= 20, f"matched an evicted row: {c}"
+
+
+def test_pipeline_topk_candidates(tmp_path, scene):
+    """Method A with candidates_per_query>1 (the 'A+' drain path): the
+    verifier sees multiple locality-consistent hypotheses per query, the
+    score history stays one entry per query, and verification still
+    accepts the true revisit."""
+    cfg = small_config(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, loop=dataclasses.replace(cfg.loop, candidates_per_query=3)
+    )
+    pipe = CerebroPipeline(cfg, rig=make_rig())
+    t = 0.0
+    for i in range(14):
+        la, ra = scene[i]
+        pipe.ingest_frame(t, la, n_tracked=100, pose=camera_pose(i), right_img=ra)
+        t += 1.0
+    t = 20.0
+    for i in range(2, 6):
+        la, ra = scene[i]
+        pipe.ingest_frame(
+            t, la, n_tracked=100, pose=camera_pose(14 + (i - 2)), right_img=ra
+        )
+        t += 1.0
+    pipe.flush_descriptors()
+
+    st = pipe.status()
+    assert st["described"] == 18
+    cands = pipe.candidates
+    assert len(cands) >= 1, st
+    for c in cands:
+        assert c.idx_curr >= 14
+        assert c.idx_prev < 14
+    # score history: exactly one (rank-0) entry per described query
+    assert len(pipe.score_history) == 18
+    n_acc = pipe.verify_pending()
+    assert n_acc >= 1, pipe.status()
