@@ -121,7 +121,8 @@ def bench_verify(reps: int = 3, batches=(4, 8, 16, 32)):
     sweep = []
     gate = None
     for batch in batches:
-        keys = jax.random.split(jax.random.PRNGKey(batch), reps)
+        # one key PER PAIR per rep (verify_pair_batch vmaps over the keys)
+        keys = jax.random.split(jax.random.PRNGKey(batch), (reps, batch))
         pb = [tuple(x[:batch] for x in p) for p in pool]
         t0 = time.perf_counter()
         res = verify_pair_batch(cfg, keys[0], *pb[0], rig)

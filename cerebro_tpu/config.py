@@ -157,6 +157,12 @@ class VerifyConfig:
     # scales (src/utils/GMSMatcher/gms_matcher.h:9-46). A revisit at 1.5-2x
     # approach distance must still verify.
     scale_banks: Tuple[float, ...] = (0.5, 0.70710678, 1.0, 1.41421356)
+    # Two-tier verification (measured on a v5e chip: single-scale matcher
+    # 13 ms/pair vs multi-octave 276 ms/pair): every pair is verified with
+    # the single-scale matcher first; only match-count failures — the
+    # failure mode a scale change causes — escalate to the scale-bank
+    # matcher. Same-scale revisits never pay the 21x.
+    cascade: bool = True
     # Depth validity range in metres (ref src/utils/PointFeatureMatching.cpp:125).
     min_depth: float = 0.1
     max_depth: float = 25.0

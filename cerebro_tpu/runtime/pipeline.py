@@ -576,7 +576,8 @@ class CerebroPipeline:
                 loadable.append((cand, pair[1:]))
 
         n_accepted = 0
-        # depth-camera candidates (one dispatch each)
+        # depth-camera candidates (one dispatch each; no cascade — depth
+        # rigs skip the stereo matcher escalation path)
         for cand, (la, da, lb, db_) in depth_pairs:
             self._verify_key, sub = jax.random.split(self._verify_key)
             res = verify_pair_depth(
@@ -587,6 +588,33 @@ class CerebroPipeline:
             )
             n_accepted += self._emit_edges([cand], _expand(res))
 
+        # Cascade (measured on a v5e chip: the single-scale matcher runs at
+        # 13 ms/pair, the multi-octave scale-robust one at 276 ms/pair —
+        # 21x): verify every pair with the cheap matcher first; only pairs
+        # that fail FOR LACK OF MATCHES (the failure a scale change causes)
+        # escalate to the scale-bank matcher. Same-scale revisits — the
+        # overwhelming majority — never pay the 21x.
+        vcfg = self.cfg.verify
+        cascading = vcfg.cascade and tuple(vcfg.scale_banks) != (1.0,)
+        if cascading:
+            fast_cfg = dataclasses.replace(vcfg, scale_banks=(1.0,))
+            escalate: List = []
+            n_accepted += self._verify_chunks(
+                loadable, fast_cfg, device_batch, escalate=escalate
+            )
+            n_accepted += self._verify_chunks(escalate, vcfg, device_batch)
+        else:
+            n_accepted += self._verify_chunks(loadable, vcfg, device_batch)
+        return n_accepted
+
+    def _verify_chunks(
+        self, loadable, vcfg, device_batch: int, escalate: Optional[List] = None
+    ) -> int:
+        """Run (cand, (la, ra, lb, rb)) pairs through verify in
+        ``device_batch``-sized vmapped dispatches under config ``vcfg``.
+        With ``escalate`` given, match-count failures are appended there
+        (for a second pass with a stronger matcher) instead of recorded."""
+        n_accepted = 0
         i = 0
         while i < len(loadable):
             chunk = loadable[i : i + device_batch]
@@ -596,13 +624,16 @@ class CerebroPipeline:
                 cand, (la, ra, lb, rb) = chunk[0]
                 with self.timer.stage("verify"):
                     res = verify_pair(
-                        self.cfg.verify, sub,
+                        vcfg, sub,
                         jnp.asarray(lb), jnp.asarray(rb),  # frame a := prev
                         jnp.asarray(la), jnp.asarray(ra),  # frame b := curr
                         self.rig,
                     )
                     self.timer.sync_point(res)
-                n_accepted += self._emit_edges([chunk[0][0]], _expand(res))
+                n_accepted += self._emit_edges(
+                    [cand], _expand(res), escalate=escalate,
+                    pairs_by_cand={id(cand): chunk[0][1]},
+                )
             else:
                 # pad to the static batch size by repeating the first pair
                 pad = device_batch - len(chunk)
@@ -613,19 +644,26 @@ class CerebroPipeline:
                 lb = jnp.asarray(np.stack([p[2] for p in pairs]))
                 rb = jnp.asarray(np.stack([p[3] for p in pairs]))
                 with self.timer.stage("verify"):
-                    res = verify_pair_batch(
-                        self.cfg.verify, keys, lb, rb, la, ra, self.rig
-                    )
+                    res = verify_pair_batch(vcfg, keys, lb, rb, la, ra, self.rig)
                     self.timer.sync_point(res)
-                n_accepted += self._emit_edges([c for c, _ in chunk], res)
+                n_accepted += self._emit_edges(
+                    [c for c, _ in chunk], res, escalate=escalate,
+                    pairs_by_cand={id(c): p for c, p in chunk},
+                )
         return n_accepted
 
-    def _emit_edges(self, cands: List[RawCandidate], res) -> int:
+    def _emit_edges(
+        self, cands: List[RawCandidate], res,
+        escalate: Optional[List] = None,
+        pairs_by_cand: Optional[dict] = None,
+    ) -> int:
         """Turn accepted batched VerifiedLoop entries into LoopEdges.
         with a := prev, b := curr, res.T_b_a[p] = curr_T_prev; the edge
         stores prev_T_curr (pose of curr in prev's frame). Rejections are
         recorded with the failing gate (ref renders exactly these,
-        src/Visualization.cpp:75-225)."""
+        src/Visualization.cpp:75-225). With ``escalate`` given (cascade
+        pass 1), match-count failures are queued there for the
+        scale-robust matcher instead of being recorded as final."""
         accepted = np.asarray(res.accepted)
         T_all = np.asarray(res.T_b_a)
         conf = np.asarray(jnp.max(res.confidences, axis=-1))
@@ -636,6 +674,13 @@ class CerebroPipeline:
         n = 0
         for p, cand in enumerate(cands):
             if not accepted[p]:
+                low_matches = int(nm[p]) <= max(
+                    vcfg.min_matches_attempt, vcfg.min_matches_accept
+                )
+                if escalate is not None and low_matches:
+                    # cascade: retry with the scale-robust matcher
+                    escalate.append((cand, pairs_by_cand[id(cand)]))
+                    continue
                 if int(nm[p]) < vcfg.min_matches_attempt:
                     reason = (
                         f"too few matches ({int(nm[p])} < "

@@ -482,3 +482,65 @@ def test_pipeline_topk_candidates(tmp_path, scene):
     assert len(pipe.score_history) == 18
     n_acc = pipe.verify_pending()
     assert n_acc >= 1, pipe.status()
+
+
+def test_verify_cascade_escalates_scale_change(tmp_path):
+    """Two-tier verification: a same-scale pair verifies in the cheap
+    single-scale pass; an approach-distance (1.54x) revisit fails it on
+    match count and is escalated to the scale-bank matcher, which accepts
+    it (VerifyConfig.cascade; measured 13 vs 276 ms/pair on a v5e)."""
+    from test_verify import big_texture, stereo_pair
+    from cerebro_tpu.runtime.pipeline import RawCandidate
+
+    cfg = small_config(tmp_path)
+    # uint8 quantization costs a few matches vs the float render used in
+    # test_verify (141 here vs 157 there); gates scaled accordingly
+    cfg = dataclasses.replace(
+        cfg, verify=dataclasses.replace(
+            cfg.verify, min_matches_attempt=110, min_matches_accept=120,
+            # uint8 stereo depth is noisier at the close range the approach
+            # introduces (2.6 m); the 0.1 m ICP inlier gate is for 4-7 m
+            icp_inlier_error=0.2,
+        )
+    )
+    assert cfg.verify.cascade  # default on
+    pipe = CerebroPipeline(cfg, rig=make_rig())
+
+    rng = np.random.default_rng(5)
+    tex = big_texture(rng)
+    Ta = np.eye(4, dtype=np.float32)
+    Tb = np.eye(4, dtype=np.float32)
+    Tb[2, 3] = 1.4  # 1.54x closer to the near plane
+    to8 = lambda x: np.clip(np.asarray(x) * 255, 0, 255).astype(np.uint8)
+    la, ra = (to8(x) for x in stereo_pair(tex, Ta))
+    lb, rb = (to8(x) for x in stereo_pair(tex, Tb))
+    pipe.ingest_frame(0.0, la, n_tracked=100, pose=Ta, right_img=ra)
+    pipe.ingest_frame(30.0, lb, n_tracked=100, pose=Tb, right_img=rb)
+    pipe.flush_descriptors()
+    pipe._drain_detections()
+    # inject the candidate directly: this test drives VERIFICATION, not
+    # detection (the gist descriptor's scale robustness is not under test)
+    pipe._candidates = [RawCandidate(idx_curr=1, idx_prev=0, score=0.9)]
+    assert pipe.verify_pending() == 1
+    assert len(pipe.loop_edges) == 1
+    # ~pure-z approach: recovered pose must show the forward translation
+    T = pipe.loop_edges[0].T_prev_curr
+    assert abs(T[2, 3] - 1.4) < 0.15, T
+
+    # without the scale banks the same pair must be rejected on match count
+    cfg1 = dataclasses.replace(
+        cfg, verify=dataclasses.replace(
+            cfg.verify, min_matches_attempt=110, min_matches_accept=120,
+            icp_inlier_error=0.2, scale_banks=(1.0,), cascade=False
+        ),
+        runtime=dataclasses.replace(cfg.runtime, stash_dir=str(tmp_path / "s2")),
+    )
+    pipe1 = CerebroPipeline(cfg1, rig=make_rig())
+    pipe1.ingest_frame(0.0, la, n_tracked=100, pose=Ta, right_img=ra)
+    pipe1.ingest_frame(30.0, lb, n_tracked=100, pose=Tb, right_img=rb)
+    pipe1.flush_descriptors()
+    pipe1._drain_detections()
+    pipe1._candidates = [RawCandidate(idx_curr=1, idx_prev=0, score=0.9)]
+    assert pipe1.verify_pending() == 0
+    assert len(pipe1.rejected_candidates) == 1
+    assert "matches" in pipe1.rejected_candidates[0].reason
