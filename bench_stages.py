@@ -118,43 +118,58 @@ def bench_verify(reps: int = 3, batches=(4, 8, 16, 32)):
             las.append(la); ras.append(ra); lbs.append(lb); rbs.append(rb)
         pool.append(tuple(jnp.asarray(np.stack(v), jnp.float32) for v in (las, ras, lbs, rbs)))
 
-    sweep = []
-    gate = None
-    for batch in batches:
-        # one key PER PAIR per rep (verify_pair_batch vmaps over the keys)
-        keys = jax.random.split(jax.random.PRNGKey(batch), (reps, batch))
-        pb = [tuple(x[:batch] for x in p) for p in pool]
-        t0 = time.perf_counter()
-        res = verify_pair_batch(cfg, keys[0], *pb[0], rig)
-        jax.block_until_ready(res.accepted)
-        compile_s = time.perf_counter() - t0
-        if gate is None:
-            # gate: same-place pairs must verify with small translation
-            acc = np.asarray(res.accepted)
-            assert acc.mean() >= 0.5, f"verify gate: only {acc.mean():.2f}"
-            t_norm = np.linalg.norm(np.asarray(res.T_b_a)[:, :3, 3], axis=1)
-            assert (t_norm[acc] < 0.5).all(), t_norm
-            gate = {"accept_rate": round(float(acc.mean()), 3)}
-        t0 = time.perf_counter()
-        last = None
-        for r in range(reps):
-            last = verify_pair_batch(cfg, keys[r], *pb[r], rig)
-        _ = np.asarray(last.accepted)
-        dt = time.perf_counter() - t0
-        sweep.append(
-            {
-                "batch": batch,
-                "pairs_per_s": round(reps * batch / dt, 2),
-                "ms_per_pair": round(dt / (reps * batch) * 1e3, 1),
-                "compile_s_first_call": round(compile_s, 1),
-            }
-        )
+    # two tiers (VerifyConfig.cascade): the single-scale matcher serves
+    # every pair first; only match-count failures escalate to the
+    # multi-octave scale-bank matcher (measured 21x costlier)
+    fast_cfg = dataclasses.replace(cfg, scale_banks=(1.0,))
+
+    def run_sweep(vcfg, bs):
+        sweep, gate = [], None
+        for batch in bs:
+            # one key PER PAIR per rep (verify_pair_batch vmaps over keys)
+            keys = jax.random.split(jax.random.PRNGKey(batch), (reps, batch))
+            pb = [tuple(x[:batch] for x in p) for p in pool]
+            t0 = time.perf_counter()
+            res = verify_pair_batch(vcfg, keys[0], *pb[0], rig)
+            jax.block_until_ready(res.accepted)
+            compile_s = time.perf_counter() - t0
+            if gate is None:
+                # gate: same-place pairs must verify with small translation
+                acc = np.asarray(res.accepted)
+                assert acc.mean() >= 0.5, f"verify gate: only {acc.mean():.2f}"
+                t_norm = np.linalg.norm(np.asarray(res.T_b_a)[:, :3, 3], axis=1)
+                assert (t_norm[acc] < 0.5).all(), t_norm
+                gate = {"accept_rate": round(float(acc.mean()), 3)}
+            t0 = time.perf_counter()
+            last = None
+            for r in range(reps):
+                last = verify_pair_batch(vcfg, keys[r], *pb[r], rig)
+            _ = np.asarray(last.accepted)
+            dt = time.perf_counter() - t0
+            sweep.append(
+                {
+                    "batch": batch,
+                    "pairs_per_s": round(reps * batch / dt, 2),
+                    "ms_per_pair": round(dt / (reps * batch) * 1e3, 1),
+                    "compile_s_first_call": round(compile_s, 1),
+                }
+            )
+        return sweep, gate
+
+    sweep, gate = run_sweep(fast_cfg, batches)
+    esc_sweep, _ = run_sweep(cfg, (max(batches),))
     best = max(sweep, key=lambda r: r["pairs_per_s"])
     return {
+        "tier": "single-scale matcher (cascade pass 1, serves every pair)",
         "sweep": sweep,
         "best_batch": best["batch"],
         "pairs_per_s": best["pairs_per_s"],
         "ms_per_pair": best["ms_per_pair"],
+        "escalation_tier": {
+            "note": "multi-octave scale-bank matcher (cascade pass 2, "
+                    "match-count failures only)",
+            **esc_sweep[0],
+        },
         "gate": gate,
     }
 
