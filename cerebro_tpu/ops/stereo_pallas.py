@@ -64,7 +64,7 @@ def _make_kernel(H: int, W: int, num_disp: int, block: int, uniqueness: float,
     # caller pads W to a multiple of 128 (manual DMA requires it)
     assert W % 128 == 0
 
-    def kernel(left_hbm, right_hbm, disp_ref, valid_ref, lv, rv, od, ov, sem):
+    def kernel(left_hbm, right_hbm, disp_ref, valid_ref, lv, rv, od, ov, vol, sem):
         # grid = (B, H // TILE_H): batch-major so vmapped verification runs
         # as ONE kernel (a vmapped ANY-space pallas_call cannot lower)
         b = pl.program_id(0)
@@ -100,10 +100,13 @@ def _make_kernel(H: int, W: int, num_disp: int, block: int, uniqueness: float,
             sad = jnp.where(col >= d, sad, BIG)
             return _box2d_banded(sad, bv, bh)  # (TIN, W)
 
-        # ---- pass 1: WTA + neighbors ----
+        # ---- pass 1: WTA + neighbors; costs cached in VMEM so pass 2
+        # reads the volume instead of recomputing 64 banded matmuls
+        # (the matmuls are the kernel's whole cost — this halves it) ----
         def body1(d, carry):
             best, best_d, cm, cp, prev = carry
             c = cost_at(d)
+            vol[pl.ds(d, 1)] = c[None]
             # capture cp for a winner found at d-1
             cp = jnp.where(best_d == d - 1, c, cp)
             better = c < best
@@ -123,7 +126,7 @@ def _make_kernel(H: int, W: int, num_disp: int, block: int, uniqueness: float,
 
         # ---- pass 2: second best outside +-1 of the winner ----
         def body2(d, second):
-            c = cost_at(d)
+            c = vol[pl.ds(d, 1)][0]
             far = jnp.abs(best_d - d) > 1
             return jnp.where(far & (c < second), c, second)
 
@@ -196,6 +199,9 @@ def _block_match_batched(
             pltpu.VMEM((TIN, W), jnp.float32),
             pltpu.VMEM((TIN, W), jnp.float32),
             pltpu.VMEM((TIN, W), jnp.float32),
+            # cached cost volume for pass 2 (~4.7 MB at 64x48x384 f32 —
+            # comfortably inside the ~16 MB VMEM budget)
+            pltpu.VMEM((num_disp, TIN, W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
