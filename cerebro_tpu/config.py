@@ -240,6 +240,11 @@ class RuntimeConfig:
     # kidnap monitoring, images) — only the descriptor work is shed, exactly
     # like the reference's skip.
     shed_backlog: int = 512
+    # Persistent XLA compilation cache (runtime/compile_cache.py): the
+    # engine's programs compile in 25-50 s each on the chip; with the cache
+    # a machine pays that once ever, not once per process. Empty string
+    # disables; None uses ~/.cache/cerebro_tpu/xla.
+    compilation_cache_dir: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -122,6 +122,12 @@ class CerebroPipeline:
         body_T_cam: Optional[np.ndarray] = None,  # camera mount on the body/IMU
     ):
         self.cfg = cfg or CerebroConfig()
+        if self.cfg.runtime.compilation_cache_dir != "":
+            # once per machine instead of once per process (25-50 s/program
+            # on the chip); harmless no-op if jit already ran in-process
+            from cerebro_tpu.runtime.compile_cache import enable_compilation_cache
+
+            enable_compilation_cache(self.cfg.runtime.compilation_cache_dir)
         self.rig = rig
         self.mesh = mesh
         # Camera mount: poses arrive as w_T_cam but the 4-DOF pose graph

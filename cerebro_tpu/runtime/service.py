@@ -12,6 +12,17 @@ queues and the pixel dict.
 Shutdown mirrors the reference's teardown (disable flags -> join -> save
 state, ref :533-568): ``stop()`` drains remaining work, and an optional
 ``save_dir`` checkpoints the map for teach-and-repeat.
+
+Live-rate evidence (SOAK_LIVE.json, real TPU, scripts/soak_live_rate.py):
+60 s of 20 Hz 240x320 frames with the PORTED flagship descriptor — the
+reference's live camera rate (README.md:11-12) — wall time 60.0 s
+(realtime factor 1.0), zero descriptor shedding, max backlog 19 frames
+(<1 s of stream), all 1200 keyframes described. Two rules make this hold
+on a remote-TPU relay: partial descriptor batches flush only when they
+age past ``flush_interval_s`` (a per-frame padded dispatch costs ~3
+device round-trips), and monitoring must sample counters sync-free —
+``status()`` drains device detection results and will stall the stream
+if polled at high rate.
 """
 
 from __future__ import annotations
@@ -32,12 +43,18 @@ class CerebroService:
         hold_s: float = 0.2,
         idle_sleep_s: float = 0.01,
         ingest_capacity: int = 4096,  # frame-queue bound; past it pushes are rejected
+        flush_interval_s: float = 0.4,  # max descriptor latency before a
+        # partial-batch dispatch (full batches dispatch immediately inside
+        # ingest_frame). Without this bound the worker loop dispatched a
+        # padded batch PER FRAME — ~3 device round-trips each — and a 20 Hz
+        # soak ran 10x slower than real time on the remote-TPU relay.
     ):
         self.pipeline = pipeline
         self.ingest = StreamIngestor(pipeline, hold_s=hold_s, capacity=ingest_capacity)
         self.verify_every_s = verify_every_s
         self.optimize_every_s = optimize_every_s
         self.idle_sleep_s = idle_sleep_s
+        self.flush_interval_s = flush_interval_s
         self._worker: Optional[threading.Thread] = None
         self._running = threading.Event()
         self.latest_trajectory = None
@@ -98,11 +115,20 @@ class CerebroService:
     def _run(self):
         last_verify = 0.0
         last_opt = 0.0
+        last_flush = time.monotonic()
+        B = self.pipeline.cfg.runtime.descriptor_batch
         try:
             while self._running.is_set():
                 fed = self.ingest.pump()
-                self.pipeline.flush_descriptors()
                 now = time.monotonic()
+                # full batches dispatch inside ingest_frame; flush partials
+                # only when they age past the latency bound
+                pending = len(self.pipeline._pending_desc)
+                if pending >= B or (
+                    pending > 0 and now - last_flush >= self.flush_interval_s
+                ):
+                    self.pipeline.flush_descriptors()
+                    last_flush = now
                 if (
                     self.pipeline.rig is not None
                     and self.pipeline.candidates

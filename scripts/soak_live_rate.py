@@ -88,9 +88,10 @@ def run(seconds: float, rate_hz: float, cpu: bool, out: str | None):
     th = threading.Thread(target=producer)
     th.start()
     while th.is_alive():
-        st = svc.status()
+        # sync-free sampling: full status() would drain device detection
+        # results (a blocking host fetch) every tick and starve the stream
         backlog_samples.append(
-            st["ingest_pending"] + st["pending_descriptors"]
+            int(svc.ingest.engine.pending) + len(pipe._pending_desc)
         )
         time.sleep(0.1)
     th.join()
@@ -110,10 +111,14 @@ def run(seconds: float, rate_hz: float, cpu: bool, out: str | None):
         "loop_edges": st["loop_edges"],
         "descriptor": "ported (mobilenet_conv7_allpairloss)",
         "image_hw": [sw.IMG_H, sw.IMG_W],
+        "realtime_factor": round(seconds / wall, 3),
         "pass": bool(
             st["shed_descriptors"] == 0
             and st["described"] >= n_frames
             and max(backlog_samples, default=0) <= 8 * cfg.runtime.descriptor_batch
+            # the producer must actually have held the camera rate: a wall
+            # time much beyond the stream length means pushes were starved
+            and wall <= seconds * 1.25 + 10.0
         ),
     }
     if out:
