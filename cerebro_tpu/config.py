@@ -157,11 +157,20 @@ class VerifyConfig:
     # scales (src/utils/GMSMatcher/gms_matcher.h:9-46). A revisit at 1.5-2x
     # approach distance must still verify.
     scale_banks: Tuple[float, ...] = (0.5, 0.70710678, 1.0, 1.41421356)
-    # Two-tier verification (measured on a v5e chip: single-scale matcher
-    # 13 ms/pair vs multi-octave 276 ms/pair): every pair is verified with
-    # the single-scale matcher first; only match-count failures — the
-    # failure mode a scale change causes — escalate to the scale-bank
-    # matcher. Same-scale revisits never pay the 21x.
+    # Point matcher for verification (measured per pair on a v5e chip):
+    #   "steerable" — ring-Fourier steerable-basis matcher
+    #     (ops/steerable.py): rotation/scale banks as phase multiplies +
+    #     alternate basis matmuls on ONE superpatch extraction. 7.8 ms,
+    #     scale+rotation robust (148 matches on a 1.54x approach-distance
+    #     pair where the single-scale gather matcher collapses to 60).
+    #   "gather" — per-keypoint bilinear-gather banks
+    #     (features.match_image_pair): highest quality (157 on the same
+    #     pair) but 276 ms with full banks / 13 ms single-scale.
+    matcher: str = "steerable"
+    # Two-tier verification: every pair is verified with the cheap tier
+    # first (the configured matcher; for "gather" a single-scale variant);
+    # only match-count failures — the failure mode an extreme scale change
+    # causes — escalate to the full gather-bank matcher.
     cascade: bool = True
     # Depth validity range in metres (ref src/utils/PointFeatureMatching.cpp:125).
     min_depth: float = 0.1

@@ -441,6 +441,110 @@ def gms_filter(
 
 
 # ---------------------------------------------------------------------------
+# Steerable-basis matcher: rotation/scale banks as matmuls (no per-bank
+# gathers — measured 10 ms/bank on-chip for the bilinear-gather banks)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_kp", "gms_factor", "oriented", "scales", "octaves")
+)
+def match_image_pair_steerable(
+    img_a: jax.Array,  # (H, W) float32
+    img_b: jax.Array,
+    max_kp: int = 1024,
+    gms_factor: float = 6.0,
+    oriented: bool = True,
+    scales: Tuple[float, ...] = (0.5, 0.70710678, 1.0, 1.41421356),
+    octaves: int = 3,
+) -> Matches:
+    """Scale/rotation-robust matching with steerable ring-Fourier
+    descriptors (ops/steerable.py): per decimated pyramid level, ONE
+    contiguous superpatch extraction per keypoint; fractional scale banks
+    are alternate basis matmuls on the same superpatches; rotation
+    normalization and the ±15° offset banks are coefficient phase
+    multiplies. Same Matches/GMS contract as ``match_image_pair``.
+
+    Reference roles covered: ORB pyramid + steered BRIEF + GMS
+    rotation/scale sweeps (src/utils/PointFeatureMatching.cpp:21,
+    gms_matcher.h:9-46) — re-expressed so every bank rides the MXU."""
+    from cerebro_tpu.ops import steerable
+
+    # per-octave quotas mirror harris_corners_pyramid
+    q0 = (
+        max_kp - (octaves - 1) * (max_kp // (2 * (octaves - 1)))
+        if octaves > 1
+        else max_kp
+    )
+    quotas = [q0] + [max_kp // (2 * (octaves - 1))] * (octaves - 1)
+
+    def per_level(img):
+        """detect + superpatches per decimated level; coords at full res."""
+        kps_xy, kps_valid, patches, lvl_scale = [], [], [], []
+        level = img
+        for l in range(octaves):
+            if l > 0:
+                level = _avg_pool2(level)
+            k = harris_corners(level, max_kp=quotas[l], border=8)
+            sp = steerable.extract_superpatches(level, k.xy)
+            f = float(2**l)
+            kps_xy.append(k.xy * f + (f - 1.0) / 2.0)
+            kps_valid.append(k.valid)
+            patches.append(sp)
+            lvl_scale.append(f)
+        return kps_xy, kps_valid, patches
+
+    axy, avalid, apatch = per_level(img_a)
+    bxy, bvalid, bpatch = per_level(img_b)
+    ka = Keypoints(
+        xy=jnp.concatenate(axy),
+        score=jnp.zeros(max_kp, jnp.float32),
+        valid=jnp.concatenate(avalid),
+    )
+    kb = Keypoints(
+        xy=jnp.concatenate(bxy),
+        score=jnp.zeros(max_kp, jnp.float32),
+        valid=jnp.concatenate(bvalid),
+    )
+
+    def feats(patch_list, spacing):
+        return jnp.concatenate(
+            [
+                steerable.features_from_superpatches(p, spacing)
+                for p in patch_list
+            ]
+        )
+
+    ca = feats(apatch, 2.0)  # (K, R, M, 2)
+    cb_banks = [feats(bpatch, 2.0 * f) for f in scales]
+
+    # zero-rotation hypothesis: exact for the no-roll revisit
+    s = steerable.score_matrix(ca, cb_banks[0])
+    for cb in cb_banks[1:]:
+        s = jnp.maximum(s, steerable.score_matrix(ca, cb))
+    if oriented:
+        # canonicalize: cb = ca e^{i m drho} under a roll of drho, and
+        # theta tracks it — steering by +theta reaches the shared frame
+        theta_a = steerable.dominant_orientation(ca)
+        ca_n = steerable.steer(ca, theta_a)
+        off = jnp.pi / 12
+        for cb in cb_banks:
+            theta_b = steerable.dominant_orientation(cb)
+            cb_n = steerable.steer(cb, theta_b)
+            for o in (-off, 0.0, off):
+                s = jnp.maximum(
+                    s,
+                    steerable.score_matrix(
+                        ca_n, steerable.steer(cb_n, o) if o != 0.0 else cb_n
+                    ),
+                )
+    m = _match_from_scores(s, ka, kb, min_score=0.5, spatial_tol=4.0)
+    H, W = img_a.shape
+    grid = (max(4, H // 30), max(4, W // 27))
+    return gms_filter(m, img_a.shape, grid=grid, factor=gms_factor)
+
+
+# ---------------------------------------------------------------------------
 # Full front-end: the gms_point_feature_matches equivalent
 # ---------------------------------------------------------------------------
 

@@ -594,21 +594,27 @@ class CerebroPipeline:
             )
             n_accepted += self._emit_edges([cand], _expand(res))
 
-        # Cascade (measured on a v5e chip: the single-scale matcher runs at
-        # 13 ms/pair, the multi-octave scale-robust one at 276 ms/pair —
-        # 21x): verify every pair with the cheap matcher first; only pairs
-        # that fail FOR LACK OF MATCHES (the failure a scale change causes)
-        # escalate to the scale-bank matcher. Same-scale revisits — the
-        # overwhelming majority — never pay the 21x.
+        # Cascade (per-pair on a v5e chip: steerable matcher 7.8 ms,
+        # single-scale gather 13 ms, full gather banks 276 ms): verify
+        # every pair with the cheap tier first; only pairs that fail FOR
+        # LACK OF MATCHES (the failure an extreme scale change causes)
+        # escalate to the full gather-bank matcher. With the steerable
+        # tier 1 (scale+rotation robust itself), escalations are rare.
         vcfg = self.cfg.verify
-        cascading = vcfg.cascade and tuple(vcfg.scale_banks) != (1.0,)
-        if cascading:
-            fast_cfg = dataclasses.replace(vcfg, scale_banks=(1.0,))
-            escalate: List = []
-            n_accepted += self._verify_chunks(
-                loadable, fast_cfg, device_batch, escalate=escalate
-            )
-            n_accepted += self._verify_chunks(escalate, vcfg, device_batch)
+        if vcfg.cascade:
+            if vcfg.matcher == "steerable":
+                tier1 = vcfg  # already cheap AND robust
+            else:
+                tier1 = dataclasses.replace(vcfg, scale_banks=(1.0,))
+            tier2 = dataclasses.replace(vcfg, matcher="gather")
+            if tier1 == tier2:
+                n_accepted += self._verify_chunks(loadable, vcfg, device_batch)
+            else:
+                escalate: List = []
+                n_accepted += self._verify_chunks(
+                    loadable, tier1, device_batch, escalate=escalate
+                )
+                n_accepted += self._verify_chunks(escalate, tier2, device_batch)
         else:
             n_accepted += self._verify_chunks(loadable, vcfg, device_batch)
         return n_accepted
@@ -919,13 +925,19 @@ class CerebroPipeline:
             lb = self.images.get("left", idx_prev)
             if la is None or lb is None:
                 return
-            m = features.match_image_pair(
+            vcfg = self.cfg.verify
+            matcher = (
+                features.match_image_pair_steerable
+                if vcfg.matcher == "steerable"
+                else features.match_image_pair
+            )
+            m = matcher(
                 jnp.asarray(la, jnp.float32),
                 jnp.asarray(lb, jnp.float32),
-                max_kp=self.cfg.verify.max_features,
-                gms_factor=self.cfg.verify.gms_factor,
-                oriented=self.cfg.verify.oriented_matching,
-                scales=self.cfg.verify.scale_banks,
+                max_kp=vcfg.max_features,
+                gms_factor=vcfg.gms_factor,
+                oriented=vcfg.oriented_matching,
+                scales=vcfg.scale_banks,
             )
             save_img(
                 name,

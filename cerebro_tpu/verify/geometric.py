@@ -118,10 +118,17 @@ def _verify_from_points(
     rig: stereo.RectifiedRig,
 ) -> VerifiedLoop:
     # --- point matches between the two left images (ref :1484-1493) ---
-    m = features.match_image_pair(
-        left_a, left_b, max_kp=cfg.max_features, gms_factor=cfg.gms_factor,
-        oriented=cfg.oriented_matching, scales=cfg.scale_banks,
-    )
+    if cfg.matcher == "steerable":
+        m = features.match_image_pair_steerable(
+            left_a, left_b, max_kp=cfg.max_features,
+            gms_factor=cfg.gms_factor, oriented=cfg.oriented_matching,
+            scales=cfg.scale_banks,
+        )
+    else:
+        m = features.match_image_pair(
+            left_a, left_b, max_kp=cfg.max_features, gms_factor=cfg.gms_factor,
+            oriented=cfg.oriented_matching, scales=cfg.scale_banks,
+        )
     n_matches = m.count()
     attempt = n_matches >= cfg.min_matches_attempt
 

@@ -501,6 +501,10 @@ def test_verify_cascade_escalates_scale_change(tmp_path):
             # uint8 stereo depth is noisier at the close range the approach
             # introduces (2.6 m); the 0.1 m ICP inlier gate is for 4-7 m
             icp_inlier_error=0.2,
+            # pin the gather matcher: its single-scale tier 1 genuinely
+            # fails this pair, which is what exercises the escalation path
+            # (the default steerable tier 1 accepts it directly)
+            matcher="gather",
         )
     )
     assert cfg.verify.cascade  # default on
@@ -531,7 +535,8 @@ def test_verify_cascade_escalates_scale_change(tmp_path):
     cfg1 = dataclasses.replace(
         cfg, verify=dataclasses.replace(
             cfg.verify, min_matches_attempt=110, min_matches_accept=120,
-            icp_inlier_error=0.2, scale_banks=(1.0,), cascade=False
+            icp_inlier_error=0.2, scale_banks=(1.0,), cascade=False,
+            matcher="gather",
         ),
         runtime=dataclasses.replace(cfg.runtime, stash_dir=str(tmp_path / "s2")),
     )
