@@ -118,10 +118,11 @@ def bench_verify(reps: int = 3, batches=(4, 8, 16, 32)):
             las.append(la); ras.append(ra); lbs.append(lb); rbs.append(rb)
         pool.append(tuple(jnp.asarray(np.stack(v), jnp.float32) for v in (las, ras, lbs, rbs)))
 
-    # two tiers (VerifyConfig.cascade): the single-scale matcher serves
-    # every pair first; only match-count failures escalate to the
-    # multi-octave scale-bank matcher (measured 21x costlier)
-    fast_cfg = dataclasses.replace(cfg, scale_banks=(1.0,))
+    # two tiers (VerifyConfig.cascade): the steerable matcher serves every
+    # pair first; only match-count failures escalate to the full
+    # gather-bank matcher
+    fast_cfg = cfg  # default matcher is "steerable"
+    cfg = dataclasses.replace(cfg, matcher="gather")
 
     def run_sweep(vcfg, bs):
         sweep, gate = [], None
@@ -160,13 +161,13 @@ def bench_verify(reps: int = 3, batches=(4, 8, 16, 32)):
     esc_sweep, _ = run_sweep(cfg, (max(batches),))
     best = max(sweep, key=lambda r: r["pairs_per_s"])
     return {
-        "tier": "single-scale matcher (cascade pass 1, serves every pair)",
+        "tier": "steerable matcher (cascade pass 1, serves every pair)",
         "sweep": sweep,
         "best_batch": best["batch"],
         "pairs_per_s": best["pairs_per_s"],
         "ms_per_pair": best["ms_per_pair"],
         "escalation_tier": {
-            "note": "multi-octave scale-bank matcher (cascade pass 2, "
+            "note": "full gather-bank matcher (cascade pass 2, "
                     "match-count failures only)",
             **esc_sweep[0],
         },

@@ -36,10 +36,85 @@ def _build_dlt_rows(X: jax.Array, x: jax.Array) -> jax.Array:
     return jnp.stack([r1, r2], axis=1).reshape(2 * n, 12)
 
 
+def _spd_inverse(A: jax.Array, n: int) -> jax.Array:
+    """(n, n) SPD inverse via Gauss-Jordan without pivoting (SPD needs
+    none) — pure VPU mul-adds that batch perfectly under vmap, unlike the
+    LAPACK-style eigh/solve custom calls (measured ~2 ms for 128 batched
+    12x12 eigh on a v5e; this is noise)."""
+    Inv = jnp.eye(n, dtype=A.dtype)
+
+    def body(carry, ek):
+        A, Inv = carry
+        pivot = jnp.einsum("i,ij,j->", ek, A, ek)
+        arow = jnp.einsum("i,ij->j", ek, A) / pivot
+        irow = jnp.einsum("i,ij->j", ek, Inv) / pivot
+        col = jnp.einsum("ij,j->i", A, ek)
+        A = A - col[:, None] * arow[None, :] + ek[:, None] * arow[None, :]
+        Inv = Inv - col[:, None] * irow[None, :] + ek[:, None] * irow[None, :]
+        return (A, Inv), None
+
+    (A, Inv), _ = jax.lax.scan(body, (A, Inv), jnp.eye(n, dtype=A.dtype))
+    return Inv
+
+
+def _smallest_eigvec_iter(M: jax.Array, n: int = 12, iters: int = 6) -> jax.Array:
+    """Near-null eigenvector of SPD M by inverse iteration with an explicit
+    SPD inverse. The DLT normal matrix has lambda_min ~ 0 against a real
+    spectrum, so convergence (lambda_min/lambda_2)^iters is immediate."""
+    eps = 1e-7 * jnp.trace(M) / n + 1e-20
+    Ainv = _spd_inverse(M + eps * jnp.eye(n, dtype=M.dtype), n)
+
+    def body(v, _):
+        w = Ainv @ v
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-20), None
+
+    v0 = jnp.ones((n,), M.dtype) / jnp.sqrt(float(n))
+    v, _ = jax.lax.scan(body, v0, None, length=iters)
+    return v
+
+
+def _inv3(X: jax.Array) -> jax.Array:
+    """Closed-form 3x3 inverse (adjugate / det)."""
+    a, b, c = X[0, 0], X[0, 1], X[0, 2]
+    d, e, f = X[1, 0], X[1, 1], X[1, 2]
+    g, h, i = X[2, 0], X[2, 1], X[2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    adj = jnp.array([[A, B, C], [D, E, F], [G, H, I]], X.dtype)
+    return adj / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+
+
+def _polar_rotation(Rraw: jax.Array, iters: int = 8):
+    """Orthogonal polar factor of a 3x3 by Newton iteration
+    X <- (X + X^{-T})/2 — closed-form 3x3 inverses only, no svd custom
+    call. Returns (R, scale) with scale = mean singular value. A
+    reflection input (det < 0) converges to an orthogonal matrix with
+    det -1; callers treat those hypotheses as degenerate (RANSAC scores
+    them out)."""
+    nf = jnp.sqrt(jnp.sum(Rraw * Rraw) / 3.0)
+    X = Rraw / jnp.maximum(nf, 1e-20)
+
+    def body(X, _):
+        return 0.5 * (X + _inv3(X).T), None
+
+    R, _ = jax.lax.scan(body, X, None, length=iters)
+    scale = jnp.trace(R.T @ Rraw) / 3.0
+    return R, scale
+
+
 def pnp_dlt(
     X: jax.Array,  # (N, 3) 3D points in frame A
     x: jax.Array,  # (N, 2) normalized image coords in frame B
     w: jax.Array,  # (N,) weights, 0 = masked
+    exact: bool = True,
 ) -> jax.Array:
     """Weighted DLT PnP: returns b_T_a (4,4) with x ~ project(R X + t).
 
@@ -68,8 +143,13 @@ def pnp_dlt(
     A = _build_dlt_rows(Xn, xn)  # (2N, 12)
     ww = jnp.repeat(w, 2)
     M = (A * ww[:, None]).T @ A  # (12, 12)
-    _, vecs = jnp.linalg.eigh(M)
-    p = vecs[:, 0]  # smallest eigenvalue
+    if exact:
+        _, vecs = jnp.linalg.eigh(M)
+        p = vecs[:, 0]  # smallest eigenvalue
+    else:
+        # RANSAC hypothesis path: inverse iteration beats the batched
+        # LAPACK-style eigh custom call under vmap
+        p = _smallest_eigvec_iter(M)
     Pn = p.reshape(3, 4)
 
     # un-normalize: x_hat = s2 (x - c2), X_hat = s3 (X - c3)
@@ -95,11 +175,18 @@ def pnp_dlt(
     t_raw = t_raw * sign
 
     # Project to SO(3): R = U V^T, scale = mean(S)
-    U, S, Vt = jnp.linalg.svd(Rraw)
-    d = jnp.sign(jnp.linalg.det(U @ Vt))
-    diag = jnp.stack([jnp.ones(()), jnp.ones(()), d])
-    R = U @ jnp.diag(diag) @ Vt
-    scale = jnp.sum(S * diag) / 3.0
+    if exact:
+        U, S, Vt = jnp.linalg.svd(Rraw)
+        d = jnp.sign(jnp.linalg.det(U @ Vt))
+        diag = jnp.stack([jnp.ones(()), jnp.ones(()), d])
+        R = U @ jnp.diag(diag) @ Vt
+        scale = jnp.sum(S * diag) / 3.0
+    else:
+        R, scale = _polar_rotation(Rraw)
+        # a reflection (det<0) is a degenerate hypothesis: poison the pose
+        # so RANSAC's finite/inlier guards drop it
+        bad = jnp.linalg.det(R) < 0.0
+        R = jnp.where(bad, jnp.full_like(R, jnp.nan), R)
     t = t_raw / jnp.maximum(scale, 1e-12)
     return se3.make_pose(R, t)
 

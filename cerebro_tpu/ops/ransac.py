@@ -126,7 +126,11 @@ def ransac_pnp(
     src/DlsPnpWithRansac.cpp:188-241). Returns b_T_a."""
 
     def solver(Xs, xs, ws):
-        return pnp.pnp_dlt(Xs, xs, ws)
+        # exact=False: iterative small-matrix paths (inverse iteration +
+        # Newton polar) — the LAPACK-style eigh/svd custom calls dominate
+        # the vmapped hypothesis batch otherwise; the refit below keeps
+        # the exact path for the final pose
+        return pnp.pnp_dlt(Xs, xs, ws, exact=False)
 
     def error_fn(T):
         return pnp.reprojection_error(T, X, x)
