@@ -53,19 +53,29 @@ class StageTimer:
     def record(self, name: str, seconds: float):
         self._samples[name].append(seconds)
 
-    def stats(self) -> Dict[str, Dict[str, float]]:
+    def stats(self, skip_first: int = 0) -> Dict[str, Dict[str, float]]:
+        """Per-stage statistics. ``skip_first`` drops that many leading
+        samples per stage from the aggregates (the first dispatch of a
+        freshly-traced program pays XLA compilation — tens of seconds on a
+        TPU — and including it makes mean/p95 describe the compiler, not
+        the engine); the excluded warm-up cost is still reported as
+        ``first_ms`` so the compile time stays visible."""
         out = {}
         for name, buf in self._samples.items():
             if not buf:
                 continue
-            s = sorted(buf)
+            steady = buf[skip_first:] if len(buf) > skip_first else buf
+            s = sorted(steady)
             out[name] = {
-                "count": len(buf),
-                "mean_ms": 1e3 * sum(buf) / len(buf),
+                "count": len(steady),
+                "mean_ms": 1e3 * sum(steady) / len(steady),
                 "p50_ms": 1e3 * s[len(s) // 2],
                 "p95_ms": 1e3 * s[int(len(s) * 0.95)],
-                "last_ms": 1e3 * buf[-1],
+                "last_ms": 1e3 * steady[-1],
             }
+            if skip_first and len(buf) > skip_first:
+                out[name]["first_ms"] = 1e3 * buf[0]
+                out[name]["warmup_excluded"] = skip_first
         return out
 
     def estimated_ms(self, name: str) -> Optional[float]:
