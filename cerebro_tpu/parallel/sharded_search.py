@@ -27,6 +27,18 @@ from cerebro_tpu.loop import detector
 from cerebro_tpu.ops import similarity
 
 
+def merge_payload_bytes(n_queries: int, n_devices: int, k: int = 1) -> int:
+    """Exact bytes of the cross-device merge for one search step: each
+    device all-gathers its (Q, k) f32 partial maxima and (Q, k) i32 global
+    ids, so every device ends holding n_dev * Q * k * (4 + 4) bytes. This
+    is the ENTIRE inter-chip traffic of the sharded search — O(Q * n), vs
+    the O(Q * rows * D) matmul each chip does locally — and is what makes
+    the >=80%-at-2-hosts target an engineering certainty rather than a
+    hope (see scripts/bench_scaling.py roofline; asserted against the
+    compiled HLO in tests/test_sharded_search.py)."""
+    return n_queries * n_devices * k * (4 + 4)
+
+
 def shard_db(db: DescriptorDB, mesh: Mesh, axis: str = "db") -> DescriptorDB:
     """Place the DB with rows (and their global ids) sharded over the mesh
     axis; the count/total scalars are replicated."""

@@ -165,3 +165,37 @@ def test_sharded_search_on_wrapped_ring(rng):
     np.testing.assert_array_equal(np.asarray(ar), np.asarray(ar_ref))
     np.testing.assert_allclose(np.asarray(mx), np.asarray(mx_ref), rtol=1e-5)
     assert int(ar[0]) == 600 and int(ar[1]) == 1400
+
+
+def test_merge_payload_matches_compiled_hlo():
+    """The analytic scaling roofline (scripts/bench_scaling.py) rests on
+    merge_payload_bytes being the TOTAL cross-device traffic of one search
+    step. Assert it against the compiled program: every all-gather in the
+    HLO, summed over output bytes, must equal exactly Q * n_dev * 8."""
+    import re
+
+    from cerebro_tpu.parallel.sharded_search import merge_payload_bytes
+
+    mesh = make_mesh(8)
+    Q = 8
+    q = jnp.zeros((Q, D), jnp.bfloat16)
+    db = jnp.zeros((N, D), jnp.bfloat16)
+    lim = jnp.full((Q,), N, jnp.int32)
+    gid = jnp.arange(N, dtype=jnp.int32)
+    txt = sharded_max_and_argmax.lower(q, db, lim, gid, mesh).compile().as_text()
+
+    sizes = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2,
+             "s8": 1, "u8": 1, "pred": 1}
+    total = 0
+    for line in txt.splitlines():
+        if "all-gather(" not in line:
+            continue
+        m = re.search(r"=\s*(\w+)\[([\d,]*)\]", line)
+        assert m, line
+        dtype, dims = m.group(1), m.group(2)
+        n_elems = int(np.prod([int(d) for d in dims.split(",") if d] or [1]))
+        total += n_elems * sizes[dtype]
+    assert total == merge_payload_bytes(Q, 8) == Q * 8 * 8, total
+    # no other collectives hide in the program
+    for op in ("all-reduce(", "all-to-all(", "collective-permute("):
+        assert op not in txt, op
