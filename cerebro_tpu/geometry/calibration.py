@@ -25,7 +25,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from cerebro_tpu.geometry import se3
+from cerebro_tpu.geometry import cameras, se3
 from cerebro_tpu.geometry.cameras import CameraParams, make_pinhole
 
 
@@ -191,13 +191,115 @@ def refine_calibration(
     return theta, views, rms
 
 
+# ---------------------------------------------------------------------------
+# Multi-model refinement (VERDICT r3 #4): Mei / Kannala-Brandt / Scaramuzza
+# ---------------------------------------------------------------------------
+#
+# camodocal calibrates intrinsics for its whole camera family, not just
+# pinhole (ref src/utils/camodocal/src/camera_models/CostFunctionFactory.cc
+# ~1208 LoC of per-model ceres functors; EquidistantCamera.cc:820,
+# ScaramuzzaCamera.cc:833). Here one Levenberg-Marquardt loop serves every
+# model: the parameter vector theta = [fx, fy, cx, cy, d0..d3, xi] maps
+# directly onto geometry.cameras.CameraParams, so the residual reuses the
+# exact same project() the rest of the framework runs — calibration and
+# runtime geometry cannot drift apart.
+
+
+def _theta_camera(model: str, theta: jax.Array) -> CameraParams:
+    return CameraParams(
+        fx=theta[0], fy=theta[1], cx=theta[2], cy=theta[3],
+        dist=theta[4:8], xi=theta[8], model=model,
+    )
+
+
+def _project_views(model: str, theta: jax.Array, view_params: jax.Array,
+                   board: jax.Array) -> jax.Array:
+    cam = _theta_camera(model, theta)
+    board3 = jnp.concatenate([board, jnp.zeros((board.shape[0], 1))], axis=-1)
+
+    def one(view):
+        T = se3.se3_exp(view)
+        return cameras.project(cam, board3 @ T[:3, :3].T + T[:3, 3])
+
+    return jax.vmap(one)(view_params)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "iters"))
+def refine_calibration_model(
+    model: str,
+    theta0: jax.Array,  # (9,) [fx, fy, cx, cy, d0..d3, xi]
+    view_poses0: jax.Array,  # (V,4,4)
+    board: jax.Array,  # (N,2)
+    obs: jax.Array,  # (V,N,2)
+    iters: int = 40,
+):
+    """Joint LM over intrinsics + per-view poses for ANY camera model.
+    Levenberg damping (accept/reject with adaptive lambda) because fisheye
+    starts far from the pinhole bootstrap; parameters a model ignores
+    (e.g. KB's xi slot) have zero Jacobian columns and are pinned by the
+    damping term."""
+    V = view_poses0.shape[0]
+    views0 = jax.vmap(se3.se3_log)(view_poses0)
+
+    def residual(flat):
+        pred = _project_views(model, flat[:9], flat[9:].reshape(V, 6), board)
+        return (pred - obs).reshape(-1)
+
+    flat0 = jnp.concatenate([theta0, views0.reshape(-1)])
+
+    def body(_, carry):
+        flat, lam = carry
+        r = residual(flat)
+        cost = jnp.sum(r * r)
+        J = jax.jacfwd(residual)(flat)
+        H = J.T @ J
+        g = J.T @ r
+        step = jnp.linalg.solve(H + lam * jnp.diag(jnp.diag(H) + 1e-6), g)
+        cand = flat - step
+        rc = residual(cand)
+        better = jnp.sum(rc * rc) < cost
+        flat = jnp.where(better, cand, flat)
+        lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-9), lam * 4.0)
+        return flat, lam
+
+    flat, _ = jax.lax.fori_loop(0, iters, body, (flat0, jnp.float32(1e-3)))
+    r = residual(flat)
+    rms = jnp.sqrt(jnp.mean(jnp.sum(r.reshape(-1, 2) ** 2, axis=-1)))
+    views = jax.vmap(se3.se3_exp)(flat[9:].reshape(V, 6))
+    return flat[:9], views, rms
+
+
+def _theta_init(model: str, cam: CameraParams) -> jax.Array:
+    """Seed theta for the target model from a refined pinhole bootstrap.
+    Near the optical axis every model reduces to a pinhole: Mei's
+    effective focal is gamma/(1+xi) (seed xi=1 -> gamma=2f); KB's r(theta)
+    ~ theta matches the pinhole exactly; Scaramuzza's a0 IS the paraxial
+    focal (affine c=1, d=0)."""
+    f = (cam.fx, cam.fy, cam.cx, cam.cy)
+    z4 = (0.0, 0.0, 0.0, 0.0)
+    if model == cameras.MEI:
+        return jnp.asarray(
+            [2 * f[0], 2 * f[1], f[2], f[3], *z4, 1.0], jnp.float32
+        )
+    if model == cameras.SCARAMUZZA:
+        return jnp.asarray(
+            [1.0, 1.0, f[2], f[3], f[0], 0.0, 0.0, 0.0, 0.0], jnp.float32
+        )
+    # KANNALA_BRANDT (and PINHOLE, for completeness)
+    return jnp.asarray([*f, *z4, 0.0], jnp.float32)
+
+
 def calibrate_planar(
     board: jax.Array,  # (N,2) planar target points (board frame)
     obs: jax.Array,  # (V,N,2) observed pixels per view
     image_size: Tuple[int, int] = (752, 480),
     iters: int = 20,
+    model: str = cameras.PINHOLE,
 ) -> CalibrationResult:
-    """Full pipeline: homographies -> Zhang init -> joint GN refinement."""
+    """Full pipeline: homographies -> Zhang init -> joint GN refinement.
+    For non-pinhole models the pinhole solution bootstraps poses + focal
+    scale, then the model-specific LM refinement takes over (camodocal's
+    per-model calibration capability, CostFunctionFactory.cc)."""
     Hs = jax.vmap(lambda o: estimate_homography(board, o))(obs)
     K0 = intrinsics_from_homographies(Hs)
     poses0 = jax.vmap(lambda H: extrinsics_from_homography(K0, H))(Hs)
@@ -207,14 +309,30 @@ def calibrate_planar(
         (theta[4], theta[5], theta[6], theta[7]),
         width=image_size[0], height=image_size[1],
     )
+
+    if model != cameras.PINHOLE:
+        theta9, views, rms = refine_calibration_model(
+            model, _theta_init(model, cam), views, board, obs,
+            iters=max(iters, 40),
+        )
+        cam = dataclasses.replace(
+            _theta_camera(model, theta9),
+            width=image_size[0], height=image_size[1],
+        )
+        theta = theta9
+
     # Degeneracy guard: Zhang needs >=3 views with DISTINCT orientations;
     # identical/coplanar-rotation view sets produce NaNs or absurd focals.
     import numpy as _np
 
+    focals = (
+        (float(theta[4]),)
+        if model == cameras.SCARAMUZZA
+        else (float(theta[0]), float(theta[1]))
+    )
     ok = bool(
         _np.isfinite(float(rms))
         and _np.isfinite(_np.asarray(theta)).all()
-        and 1.0 < float(theta[0]) < 1e5
-        and 1.0 < float(theta[1]) < 1e5
+        and all(1.0 < f < 1e5 for f in focals)
     )
     return CalibrationResult(camera=cam, view_poses=views, rms_px=rms, success=ok)

@@ -76,3 +76,111 @@ def test_degenerate_views_flagged(rng):
     assert not res.success
     good = calibration.calibrate_planar(jnp.asarray(board), jnp.asarray(obs))
     assert good.success
+
+
+# ---------------------------------------------------------------------------
+# Multi-model calibration (VERDICT r3 #4): camodocal calibrates its whole
+# camera family (CostFunctionFactory.cc, EquidistantCamera.cc:820,
+# ScaramuzzaCamera.cc:833), not just pinhole. Each test renders a board
+# through a GT fisheye/omni camera and requires the refined intrinsics
+# within 2%.
+# ---------------------------------------------------------------------------
+
+
+def render_views_cam(rng, cam, board, n_views=10, noise_px=0.1, z=(0.35, 0.7)):
+    board3 = np.concatenate([board, np.zeros((len(board), 1), np.float32)], -1)
+    obs = []
+    for _ in range(n_views):
+        ypr = np.deg2rad(rng.uniform(-30, 30, 3)).astype(np.float32)
+        R = np.asarray(se3.ypr_to_rot(jnp.asarray(ypr)))
+        t = np.array(
+            [rng.uniform(-0.1, 0.1) - 0.3, rng.uniform(-0.1, 0.1) - 0.2,
+             rng.uniform(*z)],
+            np.float32,
+        )
+        uv = np.array(cameras.project(cam, jnp.asarray(board3 @ R.T + t)))
+        obs.append((uv + rng.normal(0, noise_px, uv.shape)).astype(np.float32))
+    return np.stack(obs)
+
+
+def _rel_err(a, b):
+    return abs(float(a) - b) / abs(b)
+
+
+def test_calibrate_kannala_brandt_within_2pct(rng):
+    gt = cameras.make_kannala_brandt(
+        380.0, 375.0, 370.0, 245.0, (-0.01, 0.02, -0.008, 0.001)
+    )
+    board = make_board()
+    obs = render_views_cam(rng, gt, board)
+    res = calibration.calibrate_planar(
+        jnp.asarray(board), jnp.asarray(obs), model=cameras.KANNALA_BRANDT
+    )
+    assert res.success
+    cam = res.camera
+    assert cam.model == cameras.KANNALA_BRANDT
+    assert float(res.rms_px) < 0.5, float(res.rms_px)
+    assert _rel_err(cam.fx, 380.0) < 0.02, float(cam.fx)
+    assert _rel_err(cam.fy, 375.0) < 0.02, float(cam.fy)
+    assert abs(float(cam.cx) - 370.0) < 3.0
+    assert abs(float(cam.cy) - 245.0) < 3.0
+    # the refined model must PROJECT like the GT camera everywhere that
+    # matters, not just match parameters (distortion coeffs can trade off)
+    pts = rng.normal(size=(200, 3)).astype(np.float32)
+    pts[:, 2] = np.abs(pts[:, 2]) + 0.5
+    err = np.linalg.norm(
+        np.asarray(cameras.project(cam, jnp.asarray(pts)))
+        - np.asarray(cameras.project(gt, jnp.asarray(pts))),
+        axis=-1,
+    )
+    assert np.median(err) < 1.0, np.median(err)
+
+
+def test_calibrate_mei_within_2pct(rng):
+    gt = cameras.make_mei(
+        720.0, 710.0, 370.0, 245.0, xi=0.9, dist=(-0.1, 0.02, 0.0, 0.0)
+    )
+    board = make_board()
+    obs = render_views_cam(rng, gt, board)
+    res = calibration.calibrate_planar(
+        jnp.asarray(board), jnp.asarray(obs), model=cameras.MEI
+    )
+    assert res.success
+    cam = res.camera
+    assert float(res.rms_px) < 0.5, float(res.rms_px)
+    # gamma and xi trade off near-axis (gamma/(1+xi) is the paraxial
+    # focal); the projection-agreement check is the real 2% gate
+    paraxial_gt = 720.0 / (1.0 + 0.9)
+    paraxial = float(cam.fx) / (1.0 + float(cam.xi))
+    assert abs(paraxial - paraxial_gt) / paraxial_gt < 0.02, (paraxial, paraxial_gt)
+    pts = rng.normal(size=(200, 3)).astype(np.float32)
+    pts[:, 2] = np.abs(pts[:, 2]) + 0.5
+    err = np.linalg.norm(
+        np.asarray(cameras.project(cam, jnp.asarray(pts)))
+        - np.asarray(cameras.project(gt, jnp.asarray(pts))),
+        axis=-1,
+    )
+    assert np.median(err) < 1.5, np.median(err)
+
+
+def test_calibrate_scaramuzza_within_2pct(rng):
+    gt = cameras.make_scaramuzza(
+        1.0, 370.0, 245.0, poly=(420.0, -6e-4, 1e-7, 0.0)
+    )
+    board = make_board()
+    obs = render_views_cam(rng, gt, board)
+    res = calibration.calibrate_planar(
+        jnp.asarray(board), jnp.asarray(obs), model=cameras.SCARAMUZZA
+    )
+    assert res.success
+    cam = res.camera
+    assert float(res.rms_px) < 0.5, float(res.rms_px)
+    assert _rel_err(cam.dist[0], 420.0) < 0.02, float(cam.dist[0])  # a0
+    pts = rng.normal(size=(200, 3)).astype(np.float32)
+    pts[:, 2] = np.abs(pts[:, 2]) + 0.5
+    err = np.linalg.norm(
+        np.asarray(cameras.project(cam, jnp.asarray(pts)))
+        - np.asarray(cameras.project(gt, jnp.asarray(pts))),
+        axis=-1,
+    )
+    assert np.median(err) < 1.5, np.median(err)
