@@ -549,3 +549,27 @@ def test_verify_cascade_escalates_scale_change(tmp_path):
     assert pipe1.verify_pending() == 0
     assert len(pipe1.rejected_candidates) == 1
     assert "matches" in pipe1.rejected_candidates[0].reason
+
+
+def test_stamped_pixels_ordered_lookup():
+    """O(log n) stamp index (VERDICT r3 Weak #9/#6): exact hit, nearest
+    within tolerance, out-of-tolerance miss, and logarithmic prune must
+    all behave like the old full-dict scan."""
+    from cerebro_tpu.runtime.pipeline import _StampedPixels
+
+    px = _StampedPixels()
+    for s in [5_000_000, 1_000_000, 3_000_000]:  # out-of-order pushes
+        px.add(s, f"img{s}")
+    assert len(px) == 3
+    assert px.pop_near(3_000_000) == "img3000000"  # exact
+    assert px.pop_near(1_400_000) == "img1000000"  # within 1 ms tol
+    assert px.pop_near(8_000_000) is None  # out of tolerance
+    assert len(px) == 1
+    # nearest of two candidates wins
+    px.add(10_000_000, "a")
+    px.add(10_600_000, "b")
+    assert px.pop_near(10_500_000) == "b"
+    # prune drops strictly-older entries and reports the count
+    px.add(20_000_000, "c")
+    assert px.prune_older(20_000_000) == 2  # 5ms + 10ms entries
+    assert len(px) == 1 and 20_000_000 in px
