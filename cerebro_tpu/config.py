@@ -87,6 +87,13 @@ class LoopConfig:
     # byte), int8 MXU scoring; <2e-2 dot-product deviation on unit
     # descriptors. Method A only; not combined with a mesh yet.
     quantized: bool = False
+    # Reject candidate pairs that still share live tracker feature ids:
+    # shared ids mean VINS tracked continuously between the frames, so the
+    # pair is odometrically connected — re-observation, not a loop
+    # closure. Robust companion to the Δt>10 s gate (needs per-keyframe
+    # feature tracks via ingest_frame(feat_ids=...); DataNode stores the
+    # same tracks, ref src/DataNode.h:49-190).
+    reject_shared_tracks: bool = True
     # Top-k returned by the sharded retrieval kernel (ref faiss k-NN=5,
     # src/Cerebro.cpp:460).
     top_k: int = 5

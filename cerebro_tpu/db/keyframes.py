@@ -30,10 +30,17 @@ _GROW = 4096
 
 @dataclasses.dataclass
 class KeyframeStore:
-    """Columnar store; rows are frames in arrival order (global index)."""
+    """Columnar store; rows are frames in arrival order (global index).
+
+    Per-keyframe tracked-feature slots mirror DataNode's point storage —
+    the reference keeps each keyframe's VINS point cloud + uv tracks +
+    feature ids and serializes them (src/DataNode.h:49-190, save path
+    src/DataManager.cpp:1127-1180). Fixed ``feature_slots`` per row keep
+    the columns rectangular (device-friendly); unused slots hold id -1."""
 
     capacity: int = _GROW
     size: int = 0
+    feature_slots: int = 128  # fixed uv/id/xyz slots per keyframe
     # columns
     stamps: np.ndarray = None  # (N,) float64 seconds
     poses: np.ndarray = None  # (N, 4, 4) float32 w_T_c
@@ -42,10 +49,14 @@ class KeyframeStore:
     n_tracked: np.ndarray = None  # (N,) int32 tracked-feature count
     has_descriptor: np.ndarray = None  # (N,) bool
     world_id: np.ndarray = None  # (N,) int32 — multi-world (kidnap) segment
+    feat_uv: np.ndarray = None  # (N, F, 2) float32 pixel tracks
+    feat_ids: np.ndarray = None  # (N, F) int32 VINS feature ids (-1 empty)
+    feat_xyz: np.ndarray = None  # (N, F, 3) float32 world points (0 if n/a)
+    n_feat: np.ndarray = None  # (N,) int32 filled slots
 
     def __post_init__(self):
         if self.stamps is None:
-            c = self.capacity
+            c, f = self.capacity, self.feature_slots
             self.stamps = np.zeros(c, np.float64)
             self.poses = np.tile(np.eye(4, dtype=np.float32), (c, 1, 1))
             self.pose_valid = np.zeros(c, bool)
@@ -53,6 +64,10 @@ class KeyframeStore:
             self.n_tracked = np.zeros(c, np.int32)
             self.has_descriptor = np.zeros(c, bool)
             self.world_id = np.zeros(c, np.int32)
+            self.feat_uv = np.zeros((c, f, 2), np.float32)
+            self.feat_ids = np.full((c, f), -1, np.int32)
+            self.feat_xyz = np.zeros((c, f, 3), np.float32)
+            self.n_feat = np.zeros(c, np.int32)
 
     # -- growth --------------------------------------------------------
 
@@ -68,12 +83,17 @@ class KeyframeStore:
             "n_tracked",
             "has_descriptor",
             "world_id",
+            "feat_uv",
+            "feat_ids",
+            "feat_xyz",
+            "n_feat",
         ):
             old = getattr(self, name)
             grown = np.zeros((new_cap,) + old.shape[1:], old.dtype)
             grown[: self.size] = old[: self.size]
             setattr(self, name, grown)
         self.poses[self.size :] = np.eye(4, dtype=np.float32)
+        self.feat_ids[self.size :] = -1
         self.capacity = new_cap
 
     # -- writes (single-writer ingest loop) ----------------------------
@@ -102,6 +122,37 @@ class KeyframeStore:
     def set_pose(self, i: int, pose: np.ndarray):
         self.poses[i] = pose
         self.pose_valid[i] = True
+
+    def set_point_features(
+        self,
+        i: int,
+        uv: np.ndarray,  # (K, 2) pixel coordinates
+        ids: np.ndarray,  # (K,) tracker feature ids
+        xyz: Optional[np.ndarray] = None,  # (K, 3) world points
+    ):
+        """Attach the frame's tracked-feature snapshot (DataNode's
+        uv/unvn/point-cloud setters, src/DataNode.h:49-190). Truncates to
+        ``feature_slots``."""
+        k = min(len(ids), self.feature_slots)
+        self.feat_uv[i, :k] = np.asarray(uv, np.float32)[:k]
+        self.feat_ids[i, :k] = np.asarray(ids, np.int32)[:k]
+        self.feat_ids[i, k:] = -1
+        if xyz is not None:
+            self.feat_xyz[i, :k] = np.asarray(xyz, np.float32)[:k]
+        self.n_feat[i] = k
+
+    def shared_track_count(self, i: int, j: int) -> int:
+        """Number of tracker feature ids frames i and j have in common.
+        Nonzero means the VINS tracker held features CONTINUOUSLY between
+        the frames — they are odometrically connected, so a similarity
+        hit between them is re-observation by tracking, not a loop
+        closure (the temporal analog of the reference's Δt>10 s gate,
+        src/ProcessedLoopCandidate.cpp:49-56, robust to stamp games)."""
+        a = self.feat_ids[i, : self.n_feat[i]]
+        b = self.feat_ids[j, : self.n_feat[j]]
+        if len(a) == 0 or len(b) == 0:
+            return 0
+        return int(np.isin(a, b).sum())
 
     def mark_described(self, idx: np.ndarray):
         self.has_descriptor[idx] = True
@@ -149,13 +200,20 @@ class KeyframeStore:
             "n_tracked": self.n_tracked[:n].copy(),
             "has_descriptor": self.has_descriptor[:n].copy(),
             "world_id": self.world_id[:n].copy(),
+            "feat_uv": self.feat_uv[:n].copy(),
+            "feat_ids": self.feat_ids[:n].copy(),
+            "feat_xyz": self.feat_xyz[:n].copy(),
+            "n_feat": self.n_feat[:n].copy(),
         }
 
     @classmethod
     def from_state_dict(cls, d: Dict[str, np.ndarray]) -> "KeyframeStore":
         n = len(d["stamps"])
-        store = cls(capacity=max(n, _GROW))
+        slots = d["feat_ids"].shape[1] if "feat_ids" in d else 128
+        store = cls(capacity=max(n, _GROW), feature_slots=slots)
         for name, col in d.items():
+            # pre-feature checkpoints (r3 and earlier) simply lack the
+            # feature columns — loading them stays valid
             getattr(store, name)[:n] = col
         store.size = n
         return store

@@ -224,6 +224,16 @@ class CerebroPipeline:
 
         self.hyp_table = create_table(64)
 
+        # Detection-result plumbing may be touched from two threads in live
+        # service mode (the ingest worker drains candidates, the verifier
+        # thread consumes them — the reference's dot-product thread and
+        # 1 Hz loopcandidate consumer are likewise separate threads over a
+        # mutexed list, src/Cerebro.h:152-153). One reentrant lock guards
+        # the deferred-detection drain + candidate queue.
+        import threading
+
+        self._det_lock = threading.RLock()
+
         # per-stage timing (ElapsedTime parity; surfaces in status())
         from cerebro_tpu.utils import StageTimer
 
@@ -247,6 +257,9 @@ class CerebroPipeline:
         depth_img: Optional[np.ndarray] = None,  # (H, W) metres (depth cam)
         is_keyframe: bool = True,
         describe_eligible: bool = True,  # False = shed under load (see RuntimeConfig.shed_backlog)
+        feat_uv: Optional[np.ndarray] = None,  # (K, 2) tracked-feature pixels
+        feat_ids: Optional[np.ndarray] = None,  # (K,) tracker feature ids
+        feat_xyz: Optional[np.ndarray] = None,  # (K, 3) world points
     ):
         """One camera frame. Returns kidnap events fired by this frame."""
         events = self.kidnap.feed(stamp, n_tracked)
@@ -257,6 +270,10 @@ class CerebroPipeline:
             n_tracked=n_tracked,
             world_id=self.kidnap.world_id,
         )
+        if feat_ids is not None:
+            # DataNode's per-keyframe point/track snapshot
+            # (ref src/DataNode.h:49-190)
+            self.store.set_point_features(idx, feat_uv, feat_ids, feat_xyz)
         if is_keyframe:
             self.images.put("left", idx, np.asarray(left_img))
             if right_img is not None:
@@ -443,6 +460,10 @@ class CerebroPipeline:
         """Materialize queued device detection results into RawCandidates,
         score history, and (optionally) the per-query log. Called lazily by
         every consumer of detection output."""
+        with self._det_lock:
+            self._drain_detections_locked()
+
+    def _drain_detections_locked(self):
         if not self._deferred_det:
             return
         pending, self._deferred_det = self._deferred_det, []
@@ -530,6 +551,13 @@ class CerebroPipeline:
                 # src/ProcessedLoopCandidate.cpp:49-56)
                 if self.store.stamps[curr] - self.store.stamps[prev] < min_dt:
                     continue
+                # shared-track gate: frames still sharing live tracker ids
+                # are odometrically connected, not a loop closure
+                if (
+                    self.cfg.loop.reject_shared_tracks
+                    and self.store.shared_track_count(curr, prev) > 0
+                ):
+                    continue
                 self._candidates.append(
                     RawCandidate(idx_curr=curr, idx_prev=prev, score=score)
                 )
@@ -555,7 +583,8 @@ class CerebroPipeline:
     # ------------------------------------------------------------------
 
     def verify_pending(
-        self, max_pairs: Optional[int] = None, device_batch: int = 4
+        self, max_pairs: Optional[int] = None, device_batch: int = 4,
+        drain: bool = True,
     ) -> int:
         """Geometrically verify queued candidates; accepted ones become
         LoopEdges. Returns number accepted this call.
@@ -563,12 +592,25 @@ class CerebroPipeline:
         Candidates are grouped into ``device_batch``-sized vmapped dispatches
         (verify_pair_batch) — the whole group's stereo depth + matching +
         3x RANSAC runs as one XLA program (the reference does one pair per
-        1 Hz tick on a CPU core, src/Cerebro.cpp:1203)."""
+        1 Hz tick on a CPU core, src/Cerebro.cpp:1203).
+
+        ``drain=False`` skips materializing deferred detection results and
+        only consumes already-drained candidates: a caller on a different
+        thread than the detect dispatches must use this — device->host
+        fetches must happen on the thread that dispatched the work (the
+        remote-TPU relay blocks cross-thread fetches indefinitely)."""
         if self.rig is None:
             raise RuntimeError("verification needs a RectifiedRig (stereo)")
-        self._drain_detections()
-        todo = self._candidates if max_pairs is None else self._candidates[:max_pairs]
-        self._candidates = [] if max_pairs is None else self._candidates[max_pairs:]
+        with self._det_lock:
+            if drain:
+                self._drain_detections_locked()
+            todo = (
+                self._candidates if max_pairs is None
+                else self._candidates[:max_pairs]
+            )
+            self._candidates = (
+                [] if max_pairs is None else self._candidates[max_pairs:]
+            )
 
         loadable = []
         depth_pairs = []
@@ -823,20 +865,44 @@ class CerebroPipeline:
         x_init = initialize_worlds(
             x0, world, np.asarray(li), np.asarray(lj), np.asarray(lm), np.asarray(lv)
         )
+
+        # Bucket shapes to the next power of two (masked padding): a LIVE
+        # engine re-optimizes every ~10 s on a growing graph, and jitting on
+        # exact shapes would recompile every call — tens of seconds per new
+        # shape on a TPU. Padded edges are valid=False (masked residuals);
+        # padded nodes are free variables pinned by GN damping and sliced
+        # off the result.
+        def bucket(n, lo=16):
+            b = lo
+            while b < n:
+                b *= 2
+            return b
+
+        N, Bn = len(kf), bucket(len(kf))
+        Bl = bucket(len(li), lo=8)
+
+        def padded(arr, B, fill=0.0, dtype=None):
+            a = np.asarray(arr)
+            out = np.full((B,) + a.shape[1:], fill, dtype or a.dtype)
+            out[: len(a)] = a
+            return jnp.asarray(out)
+
         graph = PoseGraph(
-            xyzyaw=jnp.asarray(x_init),
-            node_valid=jnp.ones(len(kf), dtype=bool),
-            odo_i=jnp.asarray(oi, jnp.int32),
-            odo_j=jnp.asarray(oj, jnp.int32),
-            odo_meas=jnp.asarray(np.asarray(om, np.float32)),
-            odo_valid=jnp.asarray(ov),
-            loop_i=jnp.asarray(li, jnp.int32),
-            loop_j=jnp.asarray(lj, jnp.int32),
-            loop_meas=jnp.asarray(np.asarray(lm, np.float32)),
-            loop_valid=jnp.asarray(lv),
+            xyzyaw=padded(x_init, Bn),
+            node_valid=padded(np.ones(N, bool), Bn, fill=False),
+            odo_i=padded(np.asarray(oi, np.int32), Bn),
+            odo_j=padded(np.asarray(oj, np.int32), Bn),
+            odo_meas=padded(np.asarray(om, np.float32), Bn),
+            odo_valid=padded(np.asarray(ov, bool), Bn, fill=False),
+            loop_i=padded(np.asarray(li, np.int32), Bl),
+            loop_j=padded(np.asarray(lj, np.int32), Bl),
+            loop_meas=padded(np.asarray(lm, np.float32), Bl),
+            loop_valid=padded(np.asarray(lv, bool), Bl, fill=False),
         )
-        x_opt, switches, _ = optimize(graph, self.cfg.posegraph)
-        out = np.asarray(poses_from_xyzyaw(x_opt))  # w_T_body
+        with self.timer.stage("optimize"):
+            x_opt, switches, _ = optimize(graph, self.cfg.posegraph)
+            self.timer.sync_point(x_opt)
+        out = np.asarray(poses_from_xyzyaw(x_opt[:N]))  # w_T_body
         if self.body_T_cam is not None:
             out = out @ self.body_T_cam[None]  # back to w_T_cam convention
         return out

@@ -573,3 +573,67 @@ def test_stamped_pixels_ordered_lookup():
     px.add(20_000_000, "c")
     assert px.prune_older(20_000_000) == 2  # 5ms + 10ms entries
     assert len(px) == 1 and 20_000_000 in px
+
+
+def test_point_feature_storage_and_shared_track_gate():
+    """DataNode parity (VERDICT r3 #7): per-keyframe uv/id/xyz tracks are
+    stored, survive the state roundtrip, and candidates between frames
+    that still share live tracker ids are rejected (odometrically
+    connected pairs are re-observation, not loop closures — the robust
+    companion of the Δt gate, ref src/DataNode.h:49-190)."""
+    import jax.numpy as jnp
+
+    from cerebro_tpu.config import CerebroConfig, DescriptorConfig, LoopConfig
+    from cerebro_tpu.db.keyframes import KeyframeStore
+    from cerebro_tpu.runtime import CerebroPipeline
+
+    # -- store roundtrip ------------------------------------------------
+    st = KeyframeStore(feature_slots=8)
+    i = st.add_frame(1.0, is_keyframe=True)
+    st.set_point_features(
+        i, np.array([[3.0, 4.0], [5.0, 6.0]]), np.array([7, 9]),
+        xyz=np.array([[0.1, 0.2, 2.0], [0.3, 0.1, 3.0]]),
+    )
+    j = st.add_frame(2.0, is_keyframe=True)
+    st.set_point_features(j, np.array([[1.0, 1.0]]), np.array([9]))
+    k = st.add_frame(3.0, is_keyframe=True)
+    st.set_point_features(k, np.array([[2.0, 2.0]]), np.array([42]))
+    assert st.shared_track_count(i, j) == 1  # id 9 tracked through
+    assert st.shared_track_count(i, k) == 0
+    back = KeyframeStore.from_state_dict(st.to_state_dict())
+    assert back.feature_slots == 8
+    assert back.shared_track_count(i, j) == 1
+    np.testing.assert_array_equal(back.feat_xyz[i, :2], st.feat_xyz[i, :2])
+    # r3-era checkpoints without feature columns still load
+    old = {n: c for n, c in st.to_state_dict().items()
+           if not n.startswith("feat") and n != "n_feat"}
+    legacy = KeyframeStore.from_state_dict(old)
+    assert legacy.size == 3 and legacy.shared_track_count(i, j) == 0
+
+    # -- pipeline gate --------------------------------------------------
+    rng_ = np.random.default_rng(3)
+    d0 = rng_.normal(size=64).astype(np.float32)
+    d0 /= np.linalg.norm(d0)
+
+    def describe(imgs):  # every frame maps to the SAME descriptor
+        return jnp.asarray(np.tile(d0, (imgs.shape[0], 1)))
+
+    def run_one(share_ids: bool):
+        cfg = CerebroConfig(
+            descriptor=DescriptorConfig(image_hw=(24, 32)),
+            loop=LoopConfig(db_capacity=512, dot_threshold=0.5,
+                            exclusion_window=2, locality_threshold=64),
+        )
+        pipe = CerebroPipeline(cfg, describe_fn=describe, describe_dim=64)
+        img = rng_.integers(0, 255, (24, 32), dtype=np.uint8)
+        for t in range(30):
+            ids = np.array([5, 6]) if share_ids else np.array([100 + t, 200 + t])
+            pipe.ingest_frame(
+                float(t), img, n_tracked=50, is_keyframe=True,
+                feat_uv=np.zeros((2, 2)), feat_ids=ids,
+            )
+        pipe.flush_descriptors()
+        return len(pipe.candidates)
+
+    assert run_one(share_ids=False) > 0  # distinct tracks: loops flow
+    assert run_one(share_ids=True) == 0  # continuously-tracked: all gated
