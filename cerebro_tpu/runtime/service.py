@@ -56,6 +56,8 @@ class CerebroService:
         self.idle_sleep_s = idle_sleep_s
         self.flush_interval_s = flush_interval_s
         self._worker: Optional[threading.Thread] = None
+        self._verifier: Optional[threading.Thread] = None
+        self._optimizer: Optional[threading.Thread] = None
         self._running = threading.Event()
         self.latest_trajectory = None
         self._error: Optional[BaseException] = None
@@ -78,6 +80,24 @@ class CerebroService:
         self._running.set()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+        # Geometric verification runs on its OWN thread — the reference's
+        # loopcandidate consumer is likewise a separate 1 Hz thread over a
+        # mutexed candidate list (src/Cerebro.cpp:1203) precisely so that
+        # pose computation (the slowest stage) never blocks ingestion. A
+        # verify dispatch takes ~0.25-1 s device+relay; inline in the
+        # worker it starved the 20 Hz pump.
+        if self.pipeline.rig is not None:
+            self._verifier = threading.Thread(target=self._run_verifier, daemon=True)
+            self._verifier.start()
+        # Trajectory optimization runs on its OWN thread — the reference's
+        # pose-graph solver is a separate PROCESS (solve_keyframe_pose_graph,
+        # ref README.md:176-194) and never blocks cerebro_node; a growing
+        # graph also recompiles per shape bucket, which must not stall the
+        # 20 Hz ingest loop. The optimizer only READS worker state (store
+        # rows below the size watermark, the append-only loop_edges list)
+        # and writes latest_trajectory.
+        self._optimizer = threading.Thread(target=self._run_optimizer, daemon=True)
+        self._optimizer.start()
 
     def stop(self, save_dir: Optional[str] = None, timeout: float = 60.0):
         """Drain, stop the worker, optionally checkpoint (ref teardown +
@@ -86,6 +106,12 @@ class CerebroService:
         if self._worker is not None:
             self._worker.join(timeout=timeout)
             self._worker = None
+        if self._verifier is not None:
+            self._verifier.join(timeout=timeout)
+            self._verifier = None
+        if self._optimizer is not None:
+            self._optimizer.join(timeout=timeout)
+            self._optimizer = None
         if self._error is not None:
             raise self._error
         # final drain on the caller's thread — loop until the engine is dry
@@ -94,7 +120,7 @@ class CerebroService:
             pass
         self.pipeline.flush_descriptors()
         if self.pipeline.rig is not None:
-            self.pipeline.verify_pending()
+            self.pipeline.verify_pending(device_batch=8)
         self.latest_trajectory = self.pipeline.optimize_trajectory()
         if save_dir is not None:
             from cerebro_tpu.io import save_pipeline_state
@@ -113,8 +139,6 @@ class CerebroService:
     # -- worker ------------------------------------------------------------
 
     def _run(self):
-        last_verify = 0.0
-        last_opt = 0.0
         last_flush = time.monotonic()
         B = self.pipeline.cfg.runtime.descriptor_batch
         try:
@@ -129,21 +153,49 @@ class CerebroService:
                 ):
                     self.pipeline.flush_descriptors()
                     last_flush = now
-                if (
-                    self.pipeline.rig is not None
-                    and self.pipeline.candidates
-                    and now - last_verify >= self.verify_every_s
-                ):
-                    self.pipeline.verify_pending()
-                    last_verify = now
-                if (
-                    self.pipeline.loop_edges
-                    and now - last_opt >= self.optimize_every_s
-                ):
-                    self.latest_trajectory = self.pipeline.optimize_trajectory()
-                    last_opt = now
+                # Materialize detection results HERE, on the thread that
+                # dispatched them: the remote-TPU relay blocks a device->
+                # host fetch issued from a different thread than the
+                # dispatch indefinitely. The verifier thread therefore
+                # consumes only host-level candidates (drain=False).
+                self.pipeline._drain_detections()
                 if fed == 0:
                     time.sleep(self.idle_sleep_s)
+        except BaseException as e:  # surfaced on stop()
+            self._error = e
+            self._running.clear()
+
+    def _run_verifier(self):
+        """1 Hz consumer cadence when idle; under a candidate backlog it
+        verifies continuously, one device batch per dispatch, and simply
+        lags the stream — the reference's consumer thread behaves the same
+        way over its foundLoops queue (src/Cerebro.cpp:1185-1263). It
+        dispatches verify programs itself and fetches its own results;
+        detection results are drained by the worker (see _run)."""
+        try:
+            while self._running.is_set():
+                if self.pipeline._candidates:
+                    self.pipeline.verify_pending(
+                        max_pairs=4, device_batch=4, drain=False
+                    )
+                else:
+                    time.sleep(min(self.verify_every_s, 0.2))
+        except BaseException as e:  # surfaced on stop()
+            self._error = e
+            self._running.clear()
+
+    def _run_optimizer(self):
+        last_n_edges = 0
+        try:
+            while self._running.is_set():
+                # sleep in small steps so stop() joins promptly
+                deadline = time.monotonic() + self.optimize_every_s
+                while self._running.is_set() and time.monotonic() < deadline:
+                    time.sleep(min(0.05, self.idle_sleep_s * 5))
+                n = len(self.pipeline.loop_edges)
+                if n and n != last_n_edges:
+                    self.latest_trajectory = self.pipeline.optimize_trajectory()
+                    last_n_edges = n
         except BaseException as e:  # surfaced on stop()
             self._error = e
             self._running.clear()
