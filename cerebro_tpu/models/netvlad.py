@@ -92,7 +92,13 @@ class GhostVLAD(nn.Module):
             )
             + assign_b
         )
-        a = jax.nn.softmax(logits, axis=-1)[..., :K]  # drop ghost columns post-softmax
+        a_full = jax.nn.softmax(logits, axis=-1)
+        # per-token probability mass captured by the ghost columns —
+        # observable via apply(..., mutable=["intermediates"]): trained
+        # ghosts should soak up clutter tokens (ref GhostVLAD purpose,
+        # scripts/predict_utils.py:83-155)
+        self.sow("intermediates", "ghost_mass", jnp.sum(a_full[..., K:], axis=-1))
+        a = a_full[..., :K]  # drop ghost columns post-softmax
 
         af = jnp.einsum(
             "bnk,bnc->bkc",
