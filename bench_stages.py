@@ -31,17 +31,21 @@ def bench_describe(reps: int = 10, batch: int = 32):
     import jax
     import jax.numpy as jnp
 
+    from cerebro_tpu import photoworld as pw
     from cerebro_tpu import synthworld as sw
     from cerebro_tpu.models.mobilenet import load_ported_params, ported_forward
 
     params, meta = load_ported_params(
         os.path.join(os.path.dirname(__file__), "artifacts", "descriptor_ported")
     )
-    world = sw.CircuitWorld.create(seed=0)
+    # photo-mosaic world: the gate measures the descriptor's REAL margin
+    # (the r3 noise-world gate read 0.969 vs 0.90 — VERDICT r3 Missing #1)
+    world = pw.PhotoWorld.create(seed=0)
     ren = sw.Renderer(world)
+    R = pw.PHOTO_RADIUS_M
     rng = np.random.default_rng(0)
-    xs = rng.uniform(-8, 8, size=reps * batch)
-    ys = rng.uniform(-8, 8, size=reps * batch)
+    xs = rng.uniform(-R, R, size=reps * batch)
+    ys = rng.uniform(-R, R, size=reps * batch)
     imgs = np.stack(
         [np.repeat(ren.render(x, y)[..., None], 3, -1) for x, y in zip(xs, ys)]
     ).astype(np.float32)
@@ -51,13 +55,13 @@ def bench_describe(reps: int = 10, batch: int = 32):
     d0 = ported_forward(params, imgs[0])
     d1 = ported_forward(params, imgs[0])
     assert float(jnp.max(jnp.abs(d0 - d1))) == 0.0, "describe nondeterminism"
-    a = np.repeat(ren.render(0.0, 0.0)[..., None], 3, -1).astype(np.float32)
-    b = np.repeat(ren.render(0.05, 0.0)[..., None], 3, -1).astype(np.float32)
-    c = np.repeat(ren.render(6.0, -5.0)[..., None], 3, -1).astype(np.float32)
+    a = np.repeat(ren.render(R, 0.0)[..., None], 3, -1).astype(np.float32)
+    b = np.repeat(ren.render(R - 0.05, 0.3)[..., None], 3, -1).astype(np.float32)
+    c = np.repeat(ren.render(-R, 0.0)[..., None], 3, -1).astype(np.float32)
     dabc = ported_forward(params, jnp.asarray(np.stack([a, b, c])))
     same = float(dabc[0] @ dabc[1])
     diff = float(dabc[0] @ dabc[2])
-    assert same > diff + 0.03, (same, diff)
+    assert same > 0.7 and diff < 0.5 and same > diff + 0.3, (same, diff)
 
     @jax.jit
     def run(imgs):
@@ -80,6 +84,7 @@ def bench_describe(reps: int = 10, batch: int = 32):
         "batch": batch,
         "image_hw": [sw.IMG_H, sw.IMG_W],
         "descriptor": "ported (mobilenet_conv7_allpairloss, D=8192)",
+        "world": "photo (real-photograph mosaic, cerebro_tpu.photoworld)",
         "gate": {"same_place_sim": round(same, 3), "different_sim": round(diff, 3)},
     }
 
@@ -94,11 +99,12 @@ def bench_verify(reps: int = 3, batches=(4, 8, 16, 32)):
     import jax
     import jax.numpy as jnp
 
+    from cerebro_tpu import photoworld as pw
     from cerebro_tpu import synthworld as sw
     from cerebro_tpu.config import VerifyConfig
     from cerebro_tpu.verify.geometric import verify_pair_batch
 
-    world = sw.CircuitWorld.create(seed=0)
+    world = pw.PhotoWorld.create(seed=0)
     ren = sw.Renderer(world)
     rig = ren.rig()
     cfg = dataclasses.replace(
@@ -108,11 +114,14 @@ def bench_verify(reps: int = 3, batches=(4, 8, 16, 32)):
     rng = np.random.default_rng(0)
     max_b = max(batches)
     # pairs: same place with a small offset (verifiable) at random spots
+    # on the photo circuit's annulus (real-photo texture)
     pool = []
     for r in range(reps):
         las, ras, lbs, rbs = [], [], [], []
         for k in range(max_b):
-            x, y = rng.uniform(-7, 7, 2)
+            th = rng.uniform(0, 2 * np.pi)
+            rr = rng.uniform(pw.PHOTO_RADIUS_M - 2, pw.PHOTO_RADIUS_M + 2)
+            x, y = rr * np.cos(th), rr * np.sin(th)
             la, ra = ren.stereo(x, y)
             lb, rb = ren.stereo(x + 0.1, y + 0.05)
             las.append(la); ras.append(ra); lbs.append(lb); rbs.append(rb)
