@@ -152,7 +152,10 @@ def update(
 
     def body(tbl, inp):
         a, b, d, v, q = inp
-        tbl = _add_one(tbl, a, b, d, v & q, cfg)
+        # insertion gates on the PAIR's validity alone; q only advances
+        # the digest clock (with a flattened top-k feed, several pairs
+        # share one query and only one slot carries the clock tick)
+        tbl = _add_one(tbl, a, b, d, v, cfg)
         tbl = dataclasses.replace(
             tbl, qcount=tbl.qcount + jnp.where(q, 1, 0)
         )

@@ -244,6 +244,117 @@ class CerebroPipeline:
         self._detection_marks: List[int] = []
 
     # ------------------------------------------------------------------
+    # Program warm-up (compile once, from the caller's thread)
+    # ------------------------------------------------------------------
+
+    def warmup(
+        self,
+        verify_device_batches: tuple = (),
+        optimize_node_buckets: tuple = (),
+        optimize_loop_bucket: int = 32,
+    ) -> dict:
+        """Compile every device program the live loop dispatches, without
+        mutating engine state (all warm calls run on throwaway copies —
+        the DB append warms with zero valid rows).
+
+        A production engine compiles its programs once at startup; here it
+        is also a correctness requirement on remote-TPU relays: a program
+        whose FIRST compile+execute happens on a spawned thread can wedge
+        permanently (its results never materialize), while programs warmed
+        on the calling thread run fine from any thread afterwards. Call
+        this from the main thread before CerebroService.start().
+
+        ``verify_device_batches``: device_batch sizes to warm for both
+        cascade tiers plus the single-pair programs (needs a rig).
+        ``optimize_node_buckets``: pose-graph node buckets to pre-compile
+        (the live optimizer recompiles per power-of-two bucket).
+        Returns per-program compile seconds."""
+        import time as _time
+
+        h, w = self.cfg.descriptor.image_hw
+        C = self.cfg.descriptor.num_channels
+        B = self.cfg.runtime.descriptor_batch
+        out = {}
+
+        def fetch(tree):
+            # a REAL host fetch, not block_until_ready: the first
+            # device->host transfer of a program's output layout pays a
+            # one-time multi-second path-setup cost on the remote-TPU
+            # relay — absorbed here instead of mid-stream (where it queues
+            # behind live dispatches and stretches into minutes)
+            for leaf in jax.tree.leaves(tree):
+                np.asarray(leaf)
+
+        t0 = _time.perf_counter()
+        descs = self.describe_fn(jnp.zeros((B, h, w, C), jnp.uint8))
+        fetch(descs)
+        out["describe"] = round(_time.perf_counter() - t0, 1)
+
+        # detect path on throwaway state (functional: nothing assigned back)
+        t0 = _time.perf_counter()
+        if self.cfg.loop.quantized:
+            _ = ddb.append_quantized(self.db, descs, jnp.asarray(0))
+        else:
+            _ = ddb.append(self.db, descs, jnp.asarray(0))
+        gidx = jnp.arange(descs.shape[0], dtype=jnp.int32)
+        qvalid = jnp.ones(descs.shape[0], bool)
+        hyp_save = self.hyp_table
+        det_save = (self.det_state, self.det_state_b,
+                    self.clique_state, self.topk_state)
+        deferred = self._run_method(descs, gidx, qvalid, 0)
+        fetch(deferred[1])
+        # restore carries touched by _run_method (zero-valid warm batch)
+        self.hyp_table = hyp_save
+        (self.det_state, self.det_state_b,
+         self.clique_state, self.topk_state) = det_save
+        out["detect"] = round(_time.perf_counter() - t0, 1)
+
+        if verify_device_batches and self.rig is not None:
+            from cerebro_tpu.verify import verify_pair
+            from cerebro_tpu.verify.geometric import verify_pair_batch
+
+            vcfg = self.cfg.verify
+            tiers = {"tier1": vcfg, "tier2": dataclasses.replace(
+                vcfg, matcher="gather")}
+            zero = jnp.zeros((h, w), jnp.float32)
+            for tag, cfg_t in tiers.items():
+                t0 = _time.perf_counter()
+                key = jax.random.PRNGKey(0)
+                r = verify_pair(cfg_t, key, zero, zero, zero, zero, self.rig)
+                fetch(r)
+                out[f"verify_{tag}_single"] = round(_time.perf_counter() - t0, 1)
+                for vb in verify_device_batches:
+                    t0 = _time.perf_counter()
+                    zb = jnp.zeros((vb, h, w), jnp.float32)
+                    keys = jax.random.split(key, vb)
+                    r = verify_pair_batch(cfg_t, keys, zb, zb, zb, zb, self.rig)
+                    fetch(r)
+                    out[f"verify_{tag}_batch{vb}"] = round(
+                        _time.perf_counter() - t0, 1)
+
+        for bn in optimize_node_buckets:
+            from cerebro_tpu.posegraph import PoseGraph, optimize
+
+            t0 = _time.perf_counter()
+            bl = optimize_loop_bucket
+            g = PoseGraph(
+                xyzyaw=jnp.zeros((bn, 4)),
+                node_valid=jnp.zeros(bn, bool).at[0].set(True),
+                odo_i=jnp.zeros(bn, jnp.int32),
+                odo_j=jnp.zeros(bn, jnp.int32),
+                odo_meas=jnp.zeros((bn, 4)),
+                odo_valid=jnp.zeros(bn, bool),
+                loop_i=jnp.zeros(bl, jnp.int32),
+                loop_j=jnp.zeros(bl, jnp.int32),
+                loop_meas=jnp.zeros((bl, 4)),
+                loop_valid=jnp.zeros(bl, bool),
+            )
+            x, s, c = optimize(g, self.cfg.posegraph)
+            fetch((x, s, c))
+            out[f"optimize_n{bn}"] = round(_time.perf_counter() - t0, 1)
+        return out
+
+    # ------------------------------------------------------------------
     # Ingest
     # ------------------------------------------------------------------
 
@@ -471,7 +582,11 @@ class CerebroPipeline:
         score history, and (optionally) the per-query log. Called lazily by
         every consumer of detection output."""
         with self._det_lock:
-            self._drain_detections_locked()
+            if self._deferred_det:
+                with self.timer.stage("drain"):
+                    self._drain_detections_locked()
+            else:
+                self._drain_detections_locked()
 
     def _drain_detections_locked(self):
         if not self._deferred_det:
@@ -594,7 +709,7 @@ class CerebroPipeline:
 
     def verify_pending(
         self, max_pairs: Optional[int] = None, device_batch: int = 4,
-        drain: bool = True,
+        drain: bool = True, cascade: Optional[bool] = None,
     ) -> int:
         """Geometrically verify queued candidates; accepted ones become
         LoopEdges. Returns number accepted this call.
@@ -608,7 +723,13 @@ class CerebroPipeline:
         only consumes already-drained candidates: a caller on a different
         thread than the detect dispatches must use this — device->host
         fetches must happen on the thread that dispatched the work (the
-        remote-TPU relay blocks cross-thread fetches indefinitely)."""
+        remote-TPU relay blocks cross-thread fetches indefinitely).
+
+        ``cascade`` overrides VerifyConfig.cascade for this call: a LIVE
+        1 Hz consumer passes False so a match-count failure rejects
+        immediately instead of paying the expensive gather-bank escalation
+        while the camera streams; the end-of-run drain escalates as
+        configured."""
         if self.rig is None:
             raise RuntimeError("verification needs a RectifiedRig (stereo)")
         with self._det_lock:
@@ -653,7 +774,8 @@ class CerebroPipeline:
         # escalate to the full gather-bank matcher. With the steerable
         # tier 1 (scale+rotation robust itself), escalations are rare.
         vcfg = self.cfg.verify
-        if vcfg.cascade:
+        use_cascade = vcfg.cascade if cascade is None else cascade
+        if use_cascade:
             if vcfg.matcher == "steerable":
                 tier1 = vcfg  # already cheap AND robust
             else:
@@ -889,7 +1011,7 @@ class CerebroPipeline:
             return b
 
         N, Bn = len(kf), bucket(len(kf))
-        Bl = bucket(len(li), lo=8)
+        Bl = bucket(len(li), lo=32)  # floor matches warmup's loop bucket
 
         def padded(arr, B, fill=0.0, dtype=None):
             a = np.asarray(arr)

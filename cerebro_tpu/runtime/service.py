@@ -80,15 +80,6 @@ class CerebroService:
         self._running.set()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
-        # Geometric verification runs on its OWN thread — the reference's
-        # loopcandidate consumer is likewise a separate 1 Hz thread over a
-        # mutexed candidate list (src/Cerebro.cpp:1203) precisely so that
-        # pose computation (the slowest stage) never blocks ingestion. A
-        # verify dispatch takes ~0.25-1 s device+relay; inline in the
-        # worker it starved the 20 Hz pump.
-        if self.pipeline.rig is not None:
-            self._verifier = threading.Thread(target=self._run_verifier, daemon=True)
-            self._verifier.start()
         # Trajectory optimization runs on its OWN thread — the reference's
         # pose-graph solver is a separate PROCESS (solve_keyframe_pose_graph,
         # ref README.md:176-194) and never blocks cerebro_node; a growing
@@ -138,51 +129,90 @@ class CerebroService:
 
     # -- worker ------------------------------------------------------------
 
-    def _run(self):
-        last_flush = time.monotonic()
+    def _tick(self, state: dict) -> int:
+        """One worker-loop step: pump -> flush -> (1 Hz) verify.
+
+        Geometric verification runs INLINE at the consumer cadence (ref
+        1 Hz loopcandidate consumer, src/Cerebro.cpp:1203): one bounded
+        device dispatch per due tick, sequenced with ingestion so verify
+        and describe never contend for the chip (a free-running verify
+        thread starved description on a single chip). The live tier skips
+        the gather-bank cascade escalation (cascade=False) — the
+        end-of-run drain escalates as configured. The candidate queue
+        simply lags under a burst, exactly like the reference's consumer."""
         B = self.pipeline.cfg.runtime.descriptor_batch
+        with self.pipeline.timer.stage("pump"):
+            fed = self.ingest.pump()
+        now = time.monotonic()
+        # full batches dispatch inside ingest_frame; flush partials
+        # only when they age past the latency bound
+        pending = len(self.pipeline._pending_desc)
+        if pending >= B or (
+            pending > 0 and now - state["last_flush"] >= self.flush_interval_s
+        ):
+            self.pipeline.flush_descriptors()
+            state["last_flush"] = now
+        # Detection results are MATERIALIZED at a bounded cadence, not per
+        # iteration: the fetch waits on all queued device work, so doing
+        # it every loop turned each iteration into a device round-trip
+        # and halved the sustainable stream rate on the remote-TPU relay.
+        if (
+            self.pipeline.rig is not None
+            and now - state.get("last_drain", 0.0)
+            >= min(self.verify_every_s, 0.25)
+        ):
+            state["last_drain"] = now
+            if (
+                now - state["last_verify"] >= self.verify_every_s
+                and self.pipeline.candidates
+            ):
+                with self.pipeline.timer.stage("verify_live"):
+                    self.pipeline.verify_pending(
+                        max_pairs=8, device_batch=8, cascade=False
+                    )
+                state["last_verify"] = time.monotonic()  # after the
+                # dispatch: duty <= dispatch/(dispatch + verify_every_s)
+        return fed
+
+    def _run(self):
+        state = {"last_flush": time.monotonic(), "last_verify": 0.0}
         try:
             while self._running.is_set():
-                fed = self.ingest.pump()
-                now = time.monotonic()
-                # full batches dispatch inside ingest_frame; flush partials
-                # only when they age past the latency bound
-                pending = len(self.pipeline._pending_desc)
-                if pending >= B or (
-                    pending > 0 and now - last_flush >= self.flush_interval_s
-                ):
-                    self.pipeline.flush_descriptors()
-                    last_flush = now
-                # Materialize detection results HERE, on the thread that
-                # dispatched them: the remote-TPU relay blocks a device->
-                # host fetch issued from a different thread than the
-                # dispatch indefinitely. The verifier thread therefore
-                # consumes only host-level candidates (drain=False).
-                self.pipeline._drain_detections()
-                if fed == 0:
+                if self._tick(state) == 0:
                     time.sleep(self.idle_sleep_s)
         except BaseException as e:  # surfaced on stop()
             self._error = e
             self._running.clear()
 
-    def _run_verifier(self):
-        """1 Hz consumer cadence when idle; under a candidate backlog it
-        verifies continuously, one device batch per dispatch, and simply
-        lags the stream — the reference's consumer thread behaves the same
-        way over its foundLoops queue (src/Cerebro.cpp:1185-1263). It
-        dispatches verify programs itself and fetches its own results;
-        detection results are drained by the worker (see _run)."""
-        try:
-            while self._running.is_set():
-                if self.pipeline._candidates:
-                    self.pipeline.verify_pending(
-                        max_pairs=4, device_batch=4, drain=False
-                    )
-                else:
-                    time.sleep(min(self.verify_every_s, 0.2))
-        except BaseException as e:  # surfaced on stop()
-            self._error = e
-            self._running.clear()
+    def run_inline(self, until, optimize: bool = True):
+        """Run the worker loop on the CALLING thread until ``until()``
+        returns True, folding in the optimizer cadence.
+
+        Exists for remote-TPU relay environments where a device->host
+        fetch issued from a spawned thread can wedge permanently (even for
+        programs warmed elsewhere): producers still push from their own
+        threads (pure host work), but every JAX dispatch/fetch stays on
+        this thread. Do NOT also call start() — this replaces the worker
+        and optimizer threads."""
+        assert self._worker is None, "run_inline replaces the worker thread"
+        state = {"last_flush": time.monotonic(), "last_verify": 0.0}
+        last_opt = 0.0
+        n_edges_opt = 0
+        while not until():
+            fed = self._tick(state)
+            now = time.monotonic()
+            n = len(self.pipeline.loop_edges)
+            if (
+                optimize
+                and n
+                and n != n_edges_opt
+                and now - last_opt >= self.optimize_every_s
+            ):
+                self.latest_trajectory = self.pipeline.optimize_trajectory()
+                last_opt = now
+                n_edges_opt = n
+            if fed == 0:
+                time.sleep(self.idle_sleep_s)
 
     def _run_optimizer(self):
         last_n_edges = 0

@@ -73,8 +73,10 @@ def run(seconds: float, rate_hz: float, cpu: bool, out: str | None):
     )
     # healthy tracking + continuous trajectory: the soak measures sustained
     # full-node rate, not kidnap handling (bench_e2e covers that)
+    # laps=4: the first revisit lands ~15 s in (just past the dt>10 s
+    # pair gate), leaving a long live window for verification + pose graph
     seq = pw.make_photo_sequence(
-        n_frames=n_frames, laps=2.5, kidnap_frames=0, teleport_phase=0.0
+        n_frames=n_frames, laps=4.0, kidnap_frames=0, teleport_phase=0.0
     )
     world = pw.PhotoWorld.create(seed=0)
     ren = sw.Renderer(world)
@@ -83,32 +85,22 @@ def run(seconds: float, rate_hz: float, cpu: bool, out: str | None):
 
     pipe = CerebroPipeline(cfg, rig=ren.rig(), body_T_cam=sw.body_T_cam())
 
-    # -- warm every program the live loop can reach (compiled once per
-    # engine lifetime; the soak measures the engine, not the compiler) ----
-    import jax.numpy as jnp
-
-    from cerebro_tpu.verify import verify_pair
-    from cerebro_tpu.verify.geometric import verify_pair_batch
-
+    # -- warm every program the live loop can reach, FROM THIS (main)
+    # thread: compiled once per engine lifetime, and on the remote-TPU
+    # relay a program first compiled on a spawned thread wedges — see
+    # CerebroPipeline.warmup. Node buckets cover the run's keyframe count.
     t_warm = time.perf_counter()
-    pipe.describe_fn(jnp.asarray(np.stack([f[0] for f in frames[:8]])[..., None]))
-    vcfg = pipe.cfg.verify
-    tier2 = dataclasses.replace(vcfg, matcher="gather")
-    la, ra = frames[0]
-    lb, rb = frames[len(frames) // 2]
-    one = [jnp.asarray(x, jnp.float32) for x in (lb, rb, la, ra)]
-    vb = 4  # service verify_pending device_batch
-    batch = [jnp.asarray(jnp.stack([x] * vb)) for x in one]
-    keys = jax.random.split(jax.random.PRNGKey(0), vb)
-    for cfg_t in (vcfg, tier2):
-        jax.block_until_ready(
-            verify_pair_batch(cfg_t, keys, *batch, pipe.rig).accepted
-        )
-        jax.block_until_ready(verify_pair(cfg_t, keys[0], *one, pipe.rig).accepted)
+    buckets, b = [], 512
+    while b < 2 * n_frames:
+        buckets.append(b)
+        b *= 2
+    warm_detail = pipe.warmup(
+        verify_device_batches=(8,),
+        optimize_node_buckets=tuple(buckets),
+    )
     warm_s = time.perf_counter() - t_warm
 
     svc = CerebroService(pipe, hold_s=0.05)
-    svc.start()
 
     backlog_samples = []
     edges_live_timeline = []
@@ -127,17 +119,26 @@ def run(seconds: float, rate_hz: float, cpu: bool, out: str | None):
             svc.push_tracking(ns, 100, is_keyframe=True)
         svc.push_image(int(1e6 * NS), np.zeros_like(frames[0][0]))  # flush horizon
 
+    def monitor():
+        while th.is_alive():
+            # sync-free sampling: host counters only (status() would drain
+            # device results — a blocking fetch — and starve the stream)
+            backlog_samples.append(
+                int(svc.ingest.engine.pending) + len(pipe._pending_desc)
+            )
+            edges_live_timeline.append(len(pipe.loop_edges))
+            time.sleep(0.1)
+
     th = threading.Thread(target=producer)
+    mon = threading.Thread(target=monitor)
     th.start()
-    while th.is_alive():
-        # sync-free sampling: full status() would drain device detection
-        # results (a blocking host fetch) every tick and starve the stream
-        backlog_samples.append(
-            int(svc.ingest.engine.pending) + len(pipe._pending_desc)
-        )
-        edges_live_timeline.append(len(pipe.loop_edges))
-        time.sleep(0.1)
+    mon.start()
+    # worker + optimizer INLINE on this (main) thread: on the remote-TPU
+    # relay a device fetch from a spawned thread wedges, so every JAX
+    # dispatch/fetch stays here while producers stream from their threads
+    svc.run_inline(until=lambda: not th.is_alive())
     th.join()
+    mon.join()
     wall = time.perf_counter() - t_start
     # loop edges that existed while the stream was still live
     edges_live = max(edges_live_timeline, default=0)
@@ -155,6 +156,7 @@ def run(seconds: float, rate_hz: float, cpu: bool, out: str | None):
         "stream_seconds": round(seconds, 1),
         "wall_seconds": round(wall, 1),
         "warmup_compile_s": round(warm_s, 1),
+        "warmup_detail_s": warm_detail,
         "described": st["described"],
         "shed_descriptors": st["shed_descriptors"],
         "max_backlog_frames": int(max(backlog_samples, default=0)),
@@ -164,14 +166,18 @@ def run(seconds: float, rate_hz: float, cpu: bool, out: str | None):
         "verify_lag_pairs_at_stream_end": int(verify_lag),
         "optimized_during_stream": bool(optimized_live),
         "rejected_candidates": st["rejected_candidates"],
+        "worker_timings_ms": pipe.timer.stats(skip_first=1),
         "descriptor": "ported (mobilenet_conv7_allpairloss)",
         "image_hw": [sw.IMG_H, sw.IMG_W],
         "realtime_factor": round(seconds / wall, 3),
         "concurrency_note": (
-            "verification at 1 Hz on the service worker and pose-graph "
-            "optimization every 10 s on the service optimizer thread run "
-            "WHILE the 20 Hz stream is ingested (ref thread set "
-            "README.md:157-165)"
+            "all stages concurrent with the stream (ref thread set "
+            "README.md:157-165): producer threads push 20 Hz stereo + "
+            "poses while the worker loop describes, detects, verifies at "
+            "1 Hz and re-optimizes the pose graph every 10 s; on this "
+            "remote-TPU relay the worker runs inline on the main thread "
+            "(CerebroService.run_inline) because device fetches from "
+            "spawned threads wedge"
         ),
         "pass": bool(
             st["shed_descriptors"] == 0

@@ -637,3 +637,40 @@ def test_point_feature_storage_and_shared_track_gate():
 
     assert run_one(share_ids=False) > 0  # distinct tracks: loops flow
     assert run_one(share_ids=True) == 0  # continuously-tracked: all gated
+
+
+def test_warmup_compiles_without_touching_state(tmp_path, scene):
+    """CerebroPipeline.warmup pre-compiles the live programs from the
+    caller's thread (a production engine compiles once at startup; on
+    remote-TPU relays a program first compiled on a spawned thread can
+    wedge). It must not change ANY engine state: a warmed pipeline and a
+    cold one fed the same stream emit identical candidates."""
+    import dataclasses as dc
+
+    def run(warm: bool):
+        cfg = small_config(tmp_path)
+        pipe = CerebroPipeline(cfg, rig=make_rig())
+        if warm:
+            detail = pipe.warmup(optimize_node_buckets=(32,))
+            assert set(detail) >= {"describe", "detect", "optimize_n32"}
+            assert pipe.store.size == 0
+            assert len(pipe.db_gid_to_store) == 0
+            assert int(np.asarray(pipe.db.count)) == 0
+        t = 0.0
+        for i in range(14):
+            la, ra = scene[i]
+            pipe.ingest_frame(t, la, n_tracked=100, pose=camera_pose(i),
+                              right_img=ra)
+            t += 1.0
+        t = 20.0
+        for i in range(2, 6):
+            la, ra = scene[i]
+            pipe.ingest_frame(t, la, n_tracked=100,
+                              pose=camera_pose(14 + (i - 2)),
+                              right_img=ra)
+            t += 1.0
+        pipe.flush_descriptors()
+        return [(c.idx_curr, c.idx_prev, round(c.score, 5))
+                for c in pipe.candidates]
+
+    assert run(warm=True) == run(warm=False)
