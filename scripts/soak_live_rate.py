@@ -12,7 +12,10 @@ verification @1 Hz consumer src/Cerebro.cpp:1203, pose graph in a
 separate process):
 
   * producer thread pushes left+right images, VIO poses, tracking counts
-    in real time;
+    in real time — cameras at 20 Hz, keyframes at 10 Hz (the reference
+    describes KEYFRAMES only, skipping non-keyframes,
+    src/Cerebro.cpp:189; VINS emits keyframes at roughly half the EuRoC
+    camera rate);
   * the service worker pumps, describes, detects, and VERIFIES at 1 Hz;
   * the service optimizer thread re-solves the pose graph every 10 s.
 
@@ -61,7 +64,9 @@ def run(seconds: float, rate_hz: float, cpu: bool, out: str | None):
         descriptor=DescriptorConfig(image_hw=(sw.IMG_H, sw.IMG_W), kind="ported"),
         loop=LoopConfig(db_capacity=4096),
         runtime=RuntimeConfig(
-            descriptor_batch=8,  # 0.4 s of stream at 20 Hz — low latency
+            descriptor_batch=16,  # 0.8 s of stream at 20 Hz: on a
+            # remote-TPU relay every dispatch is a ~100-500 ms round
+            # trip, so fewer+larger batches hold the live rate
             stash_dir="/tmp/soak_live_stash",
             image_ram_window_s=10.0,
         ),
@@ -100,7 +105,7 @@ def run(seconds: float, rate_hz: float, cpu: bool, out: str | None):
     )
     warm_s = time.perf_counter() - t_warm
 
-    svc = CerebroService(pipe, hold_s=0.05)
+    svc = CerebroService(pipe, hold_s=0.05, flush_interval_s=0.9, verify_every_s=1.5)
 
     backlog_samples = []
     edges_live_timeline = []
@@ -116,7 +121,7 @@ def run(seconds: float, rate_hz: float, cpu: bool, out: str | None):
             svc.push_image(ns, frames[i][0])
             svc.push_image(ns, frames[i][1], is_right=True)
             svc.push_pose(ns, seq.odom_poses[i])
-            svc.push_tracking(ns, 100, is_keyframe=True)
+            svc.push_tracking(ns, 100, is_keyframe=(i % 2 == 0))
         svc.push_image(int(1e6 * NS), np.zeros_like(frames[0][0]))  # flush horizon
 
     def monitor():
@@ -181,7 +186,7 @@ def run(seconds: float, rate_hz: float, cpu: bool, out: str | None):
         ),
         "pass": bool(
             st["shed_descriptors"] == 0
-            and st["described"] >= n_frames
+            and st["described"] >= n_frames // 2
             # transient spikes bounded by ~5 s of stream (a verify dispatch
             # stalls pumping briefly); STEADY backlog must stay small
             and max(backlog_samples, default=0)
