@@ -65,6 +65,24 @@ def relative_yaw_t(T_i: jax.Array, T_j: jax.Array) -> jax.Array:
     return jnp.concatenate([D[..., :3, 3], dyaw[..., None]], axis=-1)
 
 
+def relative_yaw_t_np(T_i, T_j):
+    """Numpy twin of :func:`relative_yaw_t`, batched over leading dims.
+
+    Graph assembly runs host-side on a LIVE engine (a growing keyframe set
+    every ~10 s); doing this per edge on device was one round-trip per
+    odometry edge — seconds per solve on a remote-TPU relay — and one
+    recompile per distinct edge count."""
+    import numpy as np
+
+    T_i = np.asarray(T_i, np.float32)
+    T_j = np.asarray(T_j, np.float32)
+    Rt = np.swapaxes(T_i[..., :3, :3], -1, -2)
+    Dr = Rt @ T_j[..., :3, :3]
+    Dt = np.einsum("...ij,...j->...i", Rt, T_j[..., :3, 3] - T_i[..., :3, 3])
+    dyaw = np.arctan2(Dr[..., 1, 0], Dr[..., 0, 0])
+    return np.concatenate([Dt, dyaw[..., None]], axis=-1)
+
+
 def _wrap(a: jax.Array) -> jax.Array:
     return jnp.arctan2(jnp.sin(a), jnp.cos(a))
 
@@ -174,9 +192,13 @@ def poses_from_xyzyaw(x: jax.Array) -> jax.Array:
 
 
 def _comp4(a, b):
-    """4-DOF compose: pose of (b in a's parent frame) given b in a's frame."""
-    c, s = jnp.cos(a[..., 3]), jnp.sin(a[..., 3])
-    t = jnp.stack(
+    """4-DOF compose: pose of (b in a's parent frame) given b in a's frame.
+    Pure numpy — runs host-side inside ``initialize_worlds`` (device
+    dispatches here would recompile per world-segment size)."""
+    import numpy as np
+
+    c, s = np.cos(a[..., 3]), np.sin(a[..., 3])
+    t = np.stack(
         [
             a[..., 0] + c * b[..., 0] - s * b[..., 1],
             a[..., 1] + s * b[..., 0] + c * b[..., 1],
@@ -184,12 +206,14 @@ def _comp4(a, b):
         ],
         axis=-1,
     )
-    return jnp.concatenate([t, (a[..., 3] + b[..., 3])[..., None]], axis=-1)
+    return np.concatenate([t, (a[..., 3] + b[..., 3])[..., None]], axis=-1)
 
 
 def _inv4(a):
-    c, s = jnp.cos(a[..., 3]), jnp.sin(a[..., 3])
-    t = jnp.stack(
+    import numpy as np
+
+    c, s = np.cos(a[..., 3]), np.sin(a[..., 3])
+    t = np.stack(
         [
             -(c * a[..., 0] + s * a[..., 1]),
             -(-s * a[..., 0] + c * a[..., 1]),
@@ -197,7 +221,7 @@ def _inv4(a):
         ],
         axis=-1,
     )
-    return jnp.concatenate([t, (-a[..., 3])[..., None]], axis=-1)
+    return np.concatenate([t, (-a[..., 3])[..., None]], axis=-1)
 
 
 def initialize_worlds(
@@ -241,18 +265,17 @@ def initialize_worlds(
             # orient: known world -> unknown world
             if wj in anchored and wi not in anchored:
                 # pose of j (anchored frame) and of j predicted in wi's frame
-                xj_anch = jnp.asarray(x[j])
-                xj_in_wi = _comp4(jnp.asarray(x[i]), jnp.asarray(m))
-                W = _comp4(xj_anch, _inv4(xj_in_wi))  # wi-frame -> anchored
+                xj_in_wi = _comp4(x[i], m)
+                W = _comp4(x[j], _inv4(xj_in_wi))  # wi-frame -> anchored
                 mask = wid == wi
-                x[mask] = np.asarray(_comp4(jnp.asarray(W), jnp.asarray(x[mask])))
+                x[mask] = _comp4(W, x[mask])
                 anchored.add(wi)
                 changed = True
             elif wi in anchored and wj not in anchored:
-                xj_in_wi = _comp4(jnp.asarray(x[i]), jnp.asarray(m))
-                W = _comp4(xj_in_wi, _inv4(jnp.asarray(x[j])))
+                xj_in_wi = _comp4(x[i], m)
+                W = _comp4(xj_in_wi, _inv4(x[j]))
                 mask = wid == wj
-                x[mask] = np.asarray(_comp4(jnp.asarray(W), jnp.asarray(x[mask])))
+                x[mask] = _comp4(W, x[mask])
                 anchored.add(wj)
                 changed = True
     return x

@@ -35,7 +35,7 @@ from cerebro_tpu.config import CerebroConfig
 from cerebro_tpu.db import descriptors as ddb
 from cerebro_tpu.db.images import ImageStore
 from cerebro_tpu.db.keyframes import KeyframeStore
-from cerebro_tpu.geometry import se3, stereo
+from cerebro_tpu.geometry import stereo
 from cerebro_tpu.kidnap import KidnapMonitor
 from cerebro_tpu.loop import detector
 from cerebro_tpu.models.descriptor import create_descriptor_model, describe_batch
@@ -45,7 +45,7 @@ from cerebro_tpu.posegraph import (
     initialize_worlds,
     optimize,
     poses_from_xyzyaw,
-    relative_yaw_t,
+    relative_yaw_t_np,
 )
 from cerebro_tpu.verify import verify_pair, verify_pair_depth
 from cerebro_tpu.verify.geometric import verify_pair_batch
@@ -310,27 +310,33 @@ class CerebroPipeline:
         out["detect"] = round(_time.perf_counter() - t0, 1)
 
         if verify_device_batches and self.rig is not None:
-            from cerebro_tpu.verify import verify_pair
-            from cerebro_tpu.verify.geometric import verify_pair_batch
-
+            # Warm through the REAL dispatch path (_verify_chunks +
+            # _emit_edges), not bare verify_pair calls: the path's small
+            # side programs — jax.random.split, the result-field fetches,
+            # jnp.max over confidences, _expand — each pay a multi-second
+            # first-dispatch cost on a remote-TPU relay, and an unwarmed
+            # split stalled the first LIVE verify tick by ~10 s (r4 soak).
             vcfg = self.cfg.verify
             tiers = {"tier1": vcfg, "tier2": dataclasses.replace(
                 vcfg, matcher="gather")}
-            zero = jnp.zeros((h, w), jnp.float32)
+            zero = np.zeros((h, w), np.float32)
+            n_edges, n_rej = len(self.loop_edges), len(self.rejected_candidates)
             for tag, cfg_t in tiers.items():
-                t0 = _time.perf_counter()
-                key = jax.random.PRNGKey(0)
-                r = verify_pair(cfg_t, key, zero, zero, zero, zero, self.rig)
-                fetch(r)
-                out[f"verify_{tag}_single"] = round(_time.perf_counter() - t0, 1)
-                for vb in verify_device_batches:
+                for vb in (1,) + tuple(verify_device_batches):
                     t0 = _time.perf_counter()
-                    zb = jnp.zeros((vb, h, w), jnp.float32)
-                    keys = jax.random.split(key, vb)
-                    r = verify_pair_batch(cfg_t, keys, zb, zb, zb, zb, self.rig)
-                    fetch(r)
-                    out[f"verify_{tag}_batch{vb}"] = round(
+                    fake = [
+                        (RawCandidate(idx_curr=0, idx_prev=0, score=0.0),
+                         (zero, zero, zero, zero))
+                        for _ in range(vb)
+                    ]
+                    self._verify_chunks(fake, cfg_t, max(vb, 1))
+                    name = "single" if vb == 1 else f"batch{vb}"
+                    out[f"verify_{tag}_{name}"] = round(
                         _time.perf_counter() - t0, 1)
+            # discard warm-up edges/rejections (zero images never pass the
+            # gates, but keep state exactly as before warmup regardless)
+            del self.loop_edges[n_edges:]
+            del self.rejected_candidates[n_rej:]
 
         for bn in optimize_node_buckets:
             from cerebro_tpu.posegraph import PoseGraph, optimize
@@ -351,6 +357,7 @@ class CerebroPipeline:
             )
             x, s, c = optimize(g, self.cfg.posegraph)
             fetch((x, s, c))
+            fetch(poses_from_xyzyaw(x))  # the reconstruction program
             out[f"optimize_n{bn}"] = round(_time.perf_counter() - t0, 1)
         return out
 
@@ -435,18 +442,19 @@ class CerebroPipeline:
             chunk = self._pending_desc[:B]
             self._pending_desc = self._pending_desc[B:]
             C = self.cfg.descriptor.num_channels
-            imgs = np.zeros((B, h, w, C), np.uint8)
-            for k, idx in enumerate(chunk):
-                img = _fit_image(self.images.get("left", idx), (h, w))
-                if img.ndim == 2:
-                    img = img[..., None]
-                if img.shape[-1] != C:  # gray<->color lift to the configured C
-                    img = (
-                        np.repeat(img, C, axis=-1)
-                        if img.shape[-1] == 1
-                        else img.mean(-1, keepdims=True).astype(np.uint8)
-                    )
-                imgs[k] = img
+            with self.timer.stage("assemble"):
+                imgs = np.zeros((B, h, w, C), np.uint8)
+                for k, idx in enumerate(chunk):
+                    img = _fit_image(self.images.get("left", idx), (h, w))
+                    if img.ndim == 2:
+                        img = img[..., None]
+                    if img.shape[-1] != C:  # gray<->color lift to the configured C
+                        img = (
+                            np.repeat(img, C, axis=-1)
+                            if img.shape[-1] == 1
+                            else img.mean(-1, keepdims=True).astype(np.uint8)
+                        )
+                    imgs[k] = img
             with self.timer.stage("describe"):
                 descs = self.timer.sync_point(self.describe_fn(jnp.asarray(imgs)))
             with self.timer.stage("detect"):
@@ -733,8 +741,9 @@ class CerebroPipeline:
         if self.rig is None:
             raise RuntimeError("verification needs a RectifiedRig (stereo)")
         with self._det_lock:
-            if drain:
-                self._drain_detections_locked()
+            if drain and self._deferred_det:
+                with self.timer.stage("drain"):
+                    self._drain_detections_locked()
             todo = (
                 self._candidates if max_pairs is None
                 else self._candidates[:max_pairs]
@@ -745,14 +754,15 @@ class CerebroPipeline:
 
         loadable = []
         depth_pairs = []
-        for cand in todo:
-            pair = self._load_pair(cand)
-            if pair is None:
-                continue
-            if pair[0] == "depth":
-                depth_pairs.append((cand, pair[1:]))
-            else:
-                loadable.append((cand, pair[1:]))
+        with self.timer.stage("verify_load"):
+            for cand in todo:
+                pair = self._load_pair(cand)
+                if pair is None:
+                    continue
+                if pair[0] == "depth":
+                    depth_pairs.append((cand, pair[1:]))
+                else:
+                    loadable.append((cand, pair[1:]))
 
         n_accepted = 0
         # depth-camera candidates (one dispatch each; no cascade — depth
@@ -805,14 +815,20 @@ class CerebroPipeline:
         while i < len(loadable):
             chunk = loadable[i : i + device_batch]
             i += device_batch
-            self._verify_key, sub = jax.random.split(self._verify_key)
+            with self.timer.stage("verify_rng"):
+                self._verify_key, sub = jax.random.split(self._verify_key)
             if len(chunk) == 1:
                 cand, (la, ra, lb, rb) = chunk[0]
+                with self.timer.stage("verify_h2d"):
+                    la, ra, lb, rb = (
+                        jnp.asarray(la), jnp.asarray(ra),
+                        jnp.asarray(lb), jnp.asarray(rb),
+                    )
                 with self.timer.stage("verify"):
                     res = verify_pair(
                         vcfg, sub,
-                        jnp.asarray(lb), jnp.asarray(rb),  # frame a := prev
-                        jnp.asarray(la), jnp.asarray(ra),  # frame b := curr
+                        lb, rb,  # frame a := prev
+                        la, ra,  # frame b := curr
                         self.rig,
                     )
                     self.timer.sync_point(res)
@@ -825,10 +841,11 @@ class CerebroPipeline:
                 pad = device_batch - len(chunk)
                 pairs = [p for _, p in chunk] + [chunk[0][1]] * pad
                 keys = jax.random.split(sub, device_batch)
-                la = jnp.asarray(np.stack([p[0] for p in pairs]))
-                ra = jnp.asarray(np.stack([p[1] for p in pairs]))
-                lb = jnp.asarray(np.stack([p[2] for p in pairs]))
-                rb = jnp.asarray(np.stack([p[3] for p in pairs]))
+                with self.timer.stage("verify_h2d"):
+                    la = jnp.asarray(np.stack([p[0] for p in pairs]))
+                    ra = jnp.asarray(np.stack([p[1] for p in pairs]))
+                    lb = jnp.asarray(np.stack([p[2] for p in pairs]))
+                    rb = jnp.asarray(np.stack([p[3] for p in pairs]))
                 with self.timer.stage("verify"):
                     res = verify_pair_batch(vcfg, keys, lb, rb, la, ra, self.rig)
                     self.timer.sync_point(res)
@@ -850,12 +867,13 @@ class CerebroPipeline:
         src/Visualization.cpp:75-225). With ``escalate`` given (cascade
         pass 1), match-count failures are queued there for the
         scale-robust matcher instead of being recorded as final."""
-        accepted = np.asarray(res.accepted)
-        T_all = np.asarray(res.T_b_a)
-        conf = np.asarray(jnp.max(res.confidences, axis=-1))
-        nm = np.asarray(res.n_matches)
-        consistent = np.asarray(res.consistent)
-        opt_ok = np.asarray(res.option_success)
+        with self.timer.stage("verify_fetch"):
+            accepted = np.asarray(res.accepted)
+            T_all = np.asarray(res.T_b_a)
+            conf = np.asarray(jnp.max(res.confidences, axis=-1))
+            nm = np.asarray(res.n_matches)
+            consistent = np.asarray(res.consistent)
+            opt_ok = np.asarray(res.option_success)
         vcfg = self.cfg.verify
         n = 0
         for p, cand in enumerate(cands):
@@ -965,19 +983,18 @@ class CerebroPipeline:
             T = T @ c_T_b[None]
         world = self.store.world_id[kf]
 
+        # Assembly is pure host numpy: a live engine re-solves every ~10 s,
+        # and per-edge device calls here cost one relay round-trip each
+        # (seconds per solve) plus a recompile per distinct edge count.
         x0 = np.zeros((len(kf), 4), np.float32)
         x0[:, :3] = T[:, :3, 3]
-        x0[:, 3] = np.asarray(se3.rot_to_ypr(jnp.asarray(T[:, :3, :3])))[:, 0]
+        x0[:, 3] = np.arctan2(T[:, 1, 0], T[:, 0, 0])  # rot_to_ypr yaw
 
         # odometry edges between consecutive keyframes in the same world
-        oi, oj, om, ov = [], [], [], []
-        for k in range(len(kf) - 1):
-            oi.append(k)
-            oj.append(k + 1)
-            om.append(
-                np.asarray(relative_yaw_t(jnp.asarray(T[k]), jnp.asarray(T[k + 1])))
-            )
-            ov.append(world[k] == world[k + 1])
+        oi = np.arange(len(kf) - 1, dtype=np.int32)
+        oj = oi + 1
+        om = relative_yaw_t_np(T[:-1], T[1:])
+        ov = world[:-1] == world[1:]
         # loop edges from verified LoopEdges
         li, lj, lm, lv = [], [], [], []
         for e in self.loop_edges:
@@ -989,7 +1006,7 @@ class CerebroPipeline:
             if self.body_T_cam is not None:
                 # conjugate the camera-frame loop edge into the body frame
                 T_rel = self.body_T_cam @ T_rel @ np.linalg.inv(self.body_T_cam)
-            lm.append(np.asarray(relative_yaw_t(jnp.eye(4), jnp.asarray(T_rel))))
+            lm.append(relative_yaw_t_np(np.eye(4, dtype=np.float32), T_rel))
             lv.append(True)
         if not li:
             li, lj, lm, lv = [0], [0], [np.zeros(4, np.float32)], [False]
@@ -1034,7 +1051,9 @@ class CerebroPipeline:
         with self.timer.stage("optimize"):
             x_opt, switches, _ = optimize(graph, self.cfg.posegraph)
             self.timer.sync_point(x_opt)
-        out = np.asarray(poses_from_xyzyaw(x_opt[:N]))  # w_T_body
+        # pose reconstruction at the BUCKETED shape (slicing to N first
+        # would recompile poses_from_xyzyaw for every keyframe count)
+        out = np.asarray(poses_from_xyzyaw(x_opt))[:N]  # w_T_body
         if self.body_T_cam is not None:
             out = out @ self.body_T_cam[None]  # back to w_T_cam convention
         return out
@@ -1180,11 +1199,18 @@ class _StampedPixels:
     frame, quadratic under a deep backlog (VERDICT r3 Weak #6). A bisected
     sorted-key list makes both the tolerance lookup and the stale prune
     logarithmic in the search; pushes arrive in near-stamp order so the
-    insort shift is almost always an append."""
+    insort shift is almost always an append.
+
+    Producer threads call add() while the worker calls pop_near/
+    prune_older; the compound list+dict updates are not GIL-atomic, so a
+    lock serializes them (sub-microsecond at 20 Hz)."""
 
     def __init__(self):
+        import threading
+
         self._d: dict = {}
-        self._keys: list = []  # sorted stamps (GIL-guarded, like the dict)
+        self._keys: list = []  # sorted stamps, guarded by _mu with _d
+        self._mu = threading.Lock()
 
     def __len__(self) -> int:
         return len(self._d)
@@ -1195,38 +1221,42 @@ class _StampedPixels:
     def add(self, stamp_ns: int, img) -> None:
         import bisect
 
-        if stamp_ns not in self._d:
-            bisect.insort(self._keys, stamp_ns)
-        self._d[stamp_ns] = img
+        with self._mu:
+            if stamp_ns not in self._d:
+                bisect.insort(self._keys, stamp_ns)
+            self._d[stamp_ns] = img
 
     def pop_near(self, stamp_ns: int, tol_ns: int = 1_000_000):
         """Pop the entry closest to ``stamp_ns`` within tolerance, or None."""
         import bisect
 
-        keys = self._keys
-        if not keys:
-            return None
-        i = bisect.bisect_left(keys, stamp_ns)
-        best, best_err = -1, tol_ns + 1
-        for j in (i - 1, i):
-            if 0 <= j < len(keys):
-                err = abs(keys[j] - stamp_ns)
-                if err < best_err:
-                    best, best_err = j, err
-        if best < 0:
-            return None
-        s = keys.pop(best)
-        return self._d.pop(s)
+        with self._mu:
+            keys = self._keys
+            if not keys:
+                return None
+            i = bisect.bisect_left(keys, stamp_ns)
+            best, best_err = -1, tol_ns + 1
+            for j in (i - 1, i):
+                if 0 <= j < len(keys):
+                    err = abs(keys[j] - stamp_ns)
+                    if err < best_err:
+                        best, best_err = j, err
+            if best < 0:
+                return None
+            s = keys.pop(best)
+            return self._d.pop(s)
 
     def prune_older(self, cutoff_ns: int) -> int:
         """Drop all entries with stamp < cutoff; returns how many."""
         import bisect
 
-        i = bisect.bisect_left(self._keys, cutoff_ns)
-        stale, self._keys = self._keys[:i], self._keys[i:]
-        for s in stale:
-            del self._d[s]
-        return len(stale)
+        with self._mu:
+            i = bisect.bisect_left(self._keys, cutoff_ns)
+            stale = self._keys[:i]
+            del self._keys[:i]
+            for s in stale:
+                del self._d[s]
+            return len(stale)
 
 
 class StreamIngestor:
@@ -1249,9 +1279,8 @@ class StreamIngestor:
         self.engine = make_ingest(tol_s=1e-3, hold_s=hold_s,
                                   gap_s=pipeline.cfg.kidnap.stream_gap_s,
                                   capacity=capacity)
-        self._left = _StampedPixels()
-        self._right = _StampedPixels()
-        self._lock = None  # pixel buffers are guarded by the GIL (dict/list ops)
+        self._left = _StampedPixels()  # each internally locked (producer
+        self._right = _StampedPixels()  # threads add, worker pops/prunes)
         self.pixels_dropped = 0  # images rejected at capacity or pruned stale
         self._shed_phase = 0  # deterministic decimation counter
 

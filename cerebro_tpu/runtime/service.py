@@ -13,16 +13,22 @@ Shutdown mirrors the reference's teardown (disable flags -> join -> save
 state, ref :533-568): ``stop()`` drains remaining work, and an optional
 ``save_dir`` checkpoints the map for teach-and-repeat.
 
-Live-rate evidence (SOAK_LIVE.json, real TPU, scripts/soak_live_rate.py):
-60 s of 20 Hz 240x320 frames with the PORTED flagship descriptor — the
-reference's live camera rate (README.md:11-12) — wall time 60.0 s
-(realtime factor 1.0), zero descriptor shedding, max backlog 19 frames
-(<1 s of stream), all 1200 keyframes described. Two rules make this hold
-on a remote-TPU relay: partial descriptor batches flush only when they
-age past ``flush_interval_s`` (a per-frame padded dispatch costs ~3
-device round-trips), and monitoring must sample counters sync-free —
-``status()`` drains device detection results and will stall the stream
-if polled at high rate.
+Live-rate evidence (SOAK_LIVE.json + SOAK_LIVE_run2.json, real TPU,
+scripts/soak_live_rate.py, two consecutive passing runs): the FULL node —
+describe + detect + 1 Hz-cadence verification + 10 s-cadence pose-graph
+re-optimization, all concurrent with the stream — holds 60 s of 20 Hz
+240x320 stereo with the PORTED flagship descriptor at realtime factor
+1.0: all 600 keyframes described, zero shedding, max backlog 22-29
+frames (~1 s of stream), 31-34 loop edges produced DURING the stream.
+Three rules make this hold on a remote-TPU relay: (1) partial descriptor
+batches flush only when they age past ``flush_interval_s`` (a per-frame
+padded dispatch costs ~3 device round-trips); (2) monitoring must sample
+counters sync-free — ``status()`` drains device detection results and
+will stall the stream if polled at high rate; (3) EVERY device program
+the loop can reach must be warmed via ``CerebroPipeline.warmup`` before
+the stream starts, including the tiny side programs (jax.random.split,
+result-field fetches) — an unwarmed split stalled the first live verify
+tick by ~10 s (r4 soak failure).
 """
 
 from __future__ import annotations
@@ -56,7 +62,6 @@ class CerebroService:
         self.idle_sleep_s = idle_sleep_s
         self.flush_interval_s = flush_interval_s
         self._worker: Optional[threading.Thread] = None
-        self._verifier: Optional[threading.Thread] = None
         self._optimizer: Optional[threading.Thread] = None
         self._running = threading.Event()
         self.latest_trajectory = None
@@ -97,9 +102,6 @@ class CerebroService:
         if self._worker is not None:
             self._worker.join(timeout=timeout)
             self._worker = None
-        if self._verifier is not None:
-            self._verifier.join(timeout=timeout)
-            self._verifier = None
         if self._optimizer is not None:
             self._optimizer.join(timeout=timeout)
             self._optimizer = None
@@ -141,6 +143,7 @@ class CerebroService:
         end-of-run drain escalates as configured. The candidate queue
         simply lags under a burst, exactly like the reference's consumer."""
         B = self.pipeline.cfg.runtime.descriptor_batch
+        t_tick = time.perf_counter()
         with self.pipeline.timer.stage("pump"):
             fed = self.ingest.pump()
         now = time.monotonic()
@@ -172,6 +175,7 @@ class CerebroService:
                     )
                 state["last_verify"] = time.monotonic()  # after the
                 # dispatch: duty <= dispatch/(dispatch + verify_every_s)
+        self.pipeline.timer.record("tick", time.perf_counter() - t_tick)
         return fed
 
     def _run(self):

@@ -264,3 +264,20 @@ def test_6dof_loop_closure(rng):
     end_err = np.linalg.norm(T_opt[n - 1, :3, 3] - T_gt[n - 1, :3, 3])
     assert end_err < 0.1, f"closure endpoint {end_err:.3f}"
     assert np.all(np.asarray(switches) > 0.7)
+
+
+def test_relative_yaw_t_np_matches_device():
+    """The host-numpy twin used by live graph assembly must agree with the
+    jax implementation (pipeline assembles edges host-side to avoid one
+    relay round-trip per odometry edge)."""
+    from cerebro_tpu.posegraph import relative_yaw_t_np
+
+    rng = np.random.default_rng(3)
+    T = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    for k in range(8):
+        ypr = rng.uniform(-1.5, 1.5, 3)
+        T[k, :3, :3] = np.asarray(se3.ypr_to_rot(jnp.asarray(ypr)))
+        T[k, :3, 3] = rng.uniform(-5, 5, 3)
+    got = relative_yaw_t_np(T[:-1], T[1:])
+    want = np.asarray(relative_yaw_t(jnp.asarray(T[:-1]), jnp.asarray(T[1:])))
+    np.testing.assert_allclose(got, want, atol=1e-5)
