@@ -60,7 +60,7 @@ def make_config(descriptor: str, n_frames: int, batch: int = 16,
     return CerebroConfig(
         descriptor=DescriptorConfig(image_hw=(sw.IMG_H, sw.IMG_W), kind=descriptor),
         loop=loop,
-        runtime=RuntimeConfig(descriptor_batch=batch, stash_dir="/tmp/bench_e2e_stash"),
+        runtime=RuntimeConfig(descriptor_batch=batch, stash_dir=""),
         # match-count gates rescaled for 240x320 synthetic texture density
         # (the reference's 150/800 assume ORB x 5000 on 752x480; same ratio)
         verify=dataclasses.replace(

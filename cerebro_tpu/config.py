@@ -244,7 +244,10 @@ class RuntimeConfig:
     # (ref src/DataManager.cpp:709,728-730 keeps ~5-10 s in RAM).
     image_ram_window_s: float = 10.0
     # Disk stash directory (ref /tmp/cerebro_stash, src/ImageDataManager.h:47).
-    stash_dir: str = "/tmp/cerebro_tpu_stash"
+    # Empty = a private per-instance temp dir (stash files are keyed
+    # ns__idx; engines sharing a directory clobber each other — set an
+    # explicit path only for teach-and-repeat flows that must find it).
+    stash_dir: str = ""
     # Reload cache TTL in hits (ref src/ImageDataManager.cpp:155).
     image_cache_ttl: int = 10
     # Backpressure / load shedding (parity: ref sheds descriptor work with

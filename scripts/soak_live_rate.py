@@ -67,7 +67,7 @@ def run(seconds: float, rate_hz: float, cpu: bool, out: str | None):
             descriptor_batch=16,  # 0.8 s of stream at 20 Hz: on a
             # remote-TPU relay every dispatch is a ~100-500 ms round
             # trip, so fewer+larger batches hold the live rate
-            stash_dir="/tmp/soak_live_stash",
+            stash_dir="",
             image_ram_window_s=10.0,
         ),
         # match-count gates rescaled for 240x320 (same ratio as bench_e2e)

@@ -674,3 +674,31 @@ def test_warmup_compiles_without_touching_state(tmp_path, scene):
                 for c in pipe.candidates]
 
     assert run(warm=True) == run(warm=False)
+
+
+def test_image_store_isolation_by_default():
+    """Two default-config stores must never share stash files: a discarded
+    store's ASYNC writer thread can land delayed writes that clobber a
+    newer store's same-keyed file with stale pixels — the order-dependent
+    accuracy flake (consecutive bench_e2e runs shared one stash dir)."""
+    a, b = ImageStore(), ImageStore()
+    assert a.stash_dir != b.stash_dir
+    a.put("left", 0, np.full((4, 4), 1, np.uint8))
+    b.put("left", 0, np.full((4, 4), 2, np.uint8))
+    a.stash("left", 0)
+    b.stash("left", 0)
+    a.flush_writes()
+    b.flush_writes()
+    # same key, different stores -> each reads back its OWN pixels
+    assert (a.get("left", 0) == 1).all()
+    assert (b.get("left", 0) == 2).all()
+
+
+def test_pipeline_default_stash_dirs_are_private():
+    from cerebro_tpu.config import CerebroConfig
+    from cerebro_tpu.runtime import CerebroPipeline
+
+    cfg = CerebroConfig()
+    p1 = CerebroPipeline(cfg)
+    p2 = CerebroPipeline(cfg)
+    assert p1.images.stash_dir != p2.images.stash_dir
