@@ -92,7 +92,10 @@ class LoopConfig:
     # pair is odometrically connected — re-observation, not a loop
     # closure. Robust companion to the Δt>10 s gate (needs per-keyframe
     # feature tracks via ingest_frame(feat_ids=...); DataNode stores the
-    # same tracks, ref src/DataNode.h:49-190).
+    # same tracks, ref src/DataNode.h:49-190). Applied only WITHIN one
+    # world: tracker id counters reset across kidnap sessions, so
+    # cross-world id equality is coincidental — and cross-world pairs are
+    # the loop closures that merge worlds.
     reject_shared_tracks: bool = True
     # Top-k returned by the sharded retrieval kernel (ref faiss k-NN=5,
     # src/Cerebro.cpp:460).

@@ -685,9 +685,14 @@ class CerebroPipeline:
                 if self.store.stamps[curr] - self.store.stamps[prev] < min_dt:
                     continue
                 # shared-track gate: frames still sharing live tracker ids
-                # are odometrically connected, not a loop closure
+                # are odometrically connected, not a loop closure. Scoped
+                # to the SAME world: tracker id counters reset on
+                # kidnap/recovery, so a cross-world id match is a
+                # coincidental collision — and cross-world candidates are
+                # exactly the loop closures that merge worlds.
                 if (
                     self.cfg.loop.reject_shared_tracks
+                    and self.store.world_id[curr] == self.store.world_id[prev]
                     and self.store.shared_track_count(curr, prev) > 0
                 ):
                     continue

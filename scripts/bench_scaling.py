@@ -205,7 +205,7 @@ def main():
 
         # measured: one device searching its weak-scaling shard
         mesh1 = make_mesh(1)
-        (t_local, _), _ = bench_config(args.rows_per_dev, 1, mesh1)
+        _, (t_local, _) = bench_config(args.rows_per_dev, 1, mesh1)
         t_step = t_local / args.reps
         rows = []
         for n in (2, 4, 8, 16):

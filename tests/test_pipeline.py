@@ -702,3 +702,57 @@ def test_pipeline_default_stash_dirs_are_private():
     p1 = CerebroPipeline(cfg)
     p2 = CerebroPipeline(cfg)
     assert p1.images.stash_dir != p2.images.stash_dir
+
+
+def test_shared_track_gate_scoped_to_world():
+    """Tracker id counters RESET across kidnap sessions, so equal ids on
+    opposite sides of a world boundary are coincidental collisions — and
+    cross-world candidates are exactly the loop closures that merge
+    worlds. The shared-track gate must only fire within one world."""
+    import jax.numpy as jnp
+
+    from cerebro_tpu.config import (
+        CerebroConfig,
+        DescriptorConfig,
+        KidnapConfig,
+        LoopConfig,
+    )
+    from cerebro_tpu.runtime import CerebroPipeline
+
+    rng_ = np.random.default_rng(3)
+    d0 = rng_.normal(size=64).astype(np.float32)
+    d0 /= np.linalg.norm(d0)
+
+    def describe(imgs):  # every frame maps to the SAME descriptor
+        return jnp.asarray(np.tile(d0, (imgs.shape[0], 1)))
+
+    cfg = CerebroConfig(
+        descriptor=DescriptorConfig(image_hw=(24, 32)),
+        loop=LoopConfig(db_capacity=512, dot_threshold=0.5,
+                        exclusion_window=2, locality_threshold=64),
+        kidnap=KidnapConfig(sustain_s=2.0),
+    )
+    pipe = CerebroPipeline(cfg, describe_fn=describe, describe_dim=64)
+    img = rng_.integers(0, 255, (24, 32), dtype=np.uint8)
+    shared = np.array([5, 6])  # same ids BOTH sessions (counter reset)
+    t = 0.0
+    for _ in range(15):
+        pipe.ingest_frame(t, img, n_tracked=50, is_keyframe=True,
+                          feat_uv=np.zeros((2, 2)), feat_ids=shared)
+        t += 1.0
+    for _ in range(4):  # tracking collapse -> kidnap -> new world
+        pipe.ingest_frame(t, img, n_tracked=0, is_keyframe=False)
+        t += 1.0
+    for _ in range(15):
+        pipe.ingest_frame(t, img, n_tracked=50, is_keyframe=True,
+                          feat_uv=np.zeros((2, 2)), feat_ids=shared)
+        t += 1.0
+    pipe.flush_descriptors()
+    cands = pipe.candidates
+    assert pipe.kidnap.world_id == 1, "kidnap must have opened world 1"
+    cross = [c for c in cands
+             if pipe.store.world_id[c.idx_curr] != pipe.store.world_id[c.idx_prev]]
+    assert cross, "cross-world candidates must survive the shared-id gate"
+    same_world = [c for c in cands
+                  if pipe.store.world_id[c.idx_curr] == pipe.store.world_id[c.idx_prev]]
+    assert not same_world, "within-world shared-track pairs must stay gated"
