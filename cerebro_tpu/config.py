@@ -147,6 +147,14 @@ class VerifyConfig:
     icp_sample_size: int = 4
     pnp_inlier_error: float = 0.03  # normalized-coord reprojection L1
     icp_inlier_error: float = 0.1  # metres
+    # ICP inlier threshold also scales with pair depth:
+    # max(icp_inlier_error, icp_depth_relative * max(Z_a, Z_b)). Stereo
+    # depth noise grows as Z^2·σ_d/(fx·B) — a fixed 0.1 m makes every
+    # far point a guaranteed outlier and Option C fail wholesale on deep
+    # scenes (the reference's StereoBM rigs share the noise model; its
+    # fixed 0.1 works because its demo scenes are close-range). 0 restores
+    # the fixed threshold.
+    icp_depth_relative: float = 0.035
     min_inlier_ratio: float = 0.7
     min_points_for_solve: int = 20  # ref src/DlsPnpWithRansac.cpp:19,136
     # GMS support threshold factor (ref GMSMatcher THRESH_FACTOR=6,

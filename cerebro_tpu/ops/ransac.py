@@ -156,7 +156,9 @@ def ransac_icp(
     valid: jax.Array,  # (N,) bool
     n_hyp: int = 256,
     sample_size: int = 4,
-    inlier_thresh: float = 0.1,  # ref src/DlsPnpWithRansac.cpp:88 (P3P_ICP err)
+    # scalar OR per-point (N,) array (depth-adaptive stereo thresholds);
+    # ref src/DlsPnpWithRansac.cpp:88 (P3P_ICP err)
+    inlier_thresh: float = 0.1,
     min_inlier_ratio: float = 0.7,
     min_points: int = 20,  # ref :19
     scale_sanity: float = 0.9,  # ref src/DlsPnpWithRansac.h:117-166

@@ -161,12 +161,19 @@ def _verify_from_points(
         min_points=cfg.min_points_for_solve,
     )
     T_b_inv = se3.pose_inverse(res_b.T)
-    # Option C: 3D-3D (ref :1620-1643)
+    # Option C: 3D-3D (ref :1620-1643). The inlier threshold is
+    # depth-adaptive (per correspondence): stereo depth noise grows as
+    # Z^2, so a fixed metre threshold rejects every far point regardless
+    # of pose correctness (see VerifyConfig.icp_depth_relative).
+    icp_thresh = jnp.maximum(
+        cfg.icp_inlier_error,
+        cfg.icp_depth_relative * jnp.maximum(X_a[:, 2], X_b[:, 2]),
+    )
     res_c = ransac.ransac_icp(
         k3, X_a, X_b, m.valid & depth_ok_a & depth_ok_b,
         n_hyp=cfg.ransac_hypotheses,
         sample_size=cfg.icp_sample_size,
-        inlier_thresh=cfg.icp_inlier_error,
+        inlier_thresh=icp_thresh,
         min_inlier_ratio=cfg.min_inlier_ratio,
         min_points=cfg.min_points_for_solve,
     )
