@@ -38,6 +38,15 @@ class DescriptorConfig:
     # Directory of the ported-weights artifact (kind="ported"); None uses
     # artifacts/descriptor_ported.
     artifact_dir: Optional[str] = None
+    # CNN trunk for kind="netvlad": "mobile" (conv_pw_7 analog) or "vgg16"
+    # (the reference's VGG16 cut backing ReljaNetVLAD,
+    # scripts/keras_helpers.py:231-336).
+    backbone: str = "mobile"
+    # Optional WPCA artifact (.npz from models/wpca.py): descriptors are
+    # whitened + re-projected after the network, whatever the kind — the
+    # ReljaNetVLAD pipeline shape, VLAD -> WPCA -> L2
+    # (scripts/whole_image_desc_compute_server.py:62-165).
+    wpca_artifact: Optional[str] = None
     # NetVLAD clusters (K=16 in the bundled gray_conv6_K16 model family).
     num_clusters: int = 16
     # Ghost clusters (GhostVLAD, ref scripts/predict_utils.py:83-155): they

@@ -8,3 +8,11 @@ from cerebro_tpu.models.descriptor import (  # noqa: F401
     create_descriptor_model,
     describe_batch,
 )
+from cerebro_tpu.models.wpca import (  # noqa: F401
+    WPCAParams,
+    apply_wpca,
+    fit_wpca,
+    load_wpca,
+    save_wpca,
+    whitened_describe_fn,
+)

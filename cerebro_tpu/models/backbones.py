@@ -77,6 +77,41 @@ class MobileTrunk(nn.Module):
         return x  # (B, H/16, W/16, out_dim)
 
 
+class VGGTrunk(nn.Module):
+    """VGG16-style trunk cut mid-network (ref keras_helpers.py:231-336
+    ``make_from_vgg16``: plain 3x3 conv stacks + maxpool, cut at a block
+    boundary — the backbone of the reference's ReljaNetVLAD pipeline,
+    whole_image_desc_compute_server.py:62-165).
+
+    ``cut_block`` selects how deep to go (1-indexed; 4 = through
+    block4_conv3 at /8, 5 adds the 512-wide block5 at /16). A final 1x1
+    projection to ``out_dim`` keeps the NetVLAD input MXU-aligned (VGG's
+    native widths 64/128/256/512 already are). GroupNorm after each block
+    replaces the reference's ImageNet-pretrained scale conditioning — this
+    trunk trains in-framework (cartwheel_train equivalent, train/)."""
+
+    out_dim: int = 256
+    cut_block: int = 4
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: (B, H, W, C) float in [-1, 1].
+        x = x.astype(self.dtype)
+        blocks = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+        for b, (width, depth) in enumerate(blocks[: self.cut_block]):
+            for _ in range(depth):
+                x = nn.Conv(width, (3, 3), padding="SAME", use_bias=True,
+                            dtype=self.dtype)(x)
+                x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = nn.GroupNorm(num_groups=min(32, width), dtype=jnp.float32)(x)
+            x = x.astype(self.dtype)
+        if x.shape[-1] != self.out_dim:
+            x = nn.Conv(self.out_dim, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        return x  # (B, H/2^cut, W/2^cut, out_dim)
+
+
 def normalize_image(img_u8: jax.Array) -> jax.Array:
     """uint8/float image -> [-1, 1] float, matching the reference server's
     ``(im - 128) * 2 / 255`` (scripts/whole_image_desc_compute_server.py:629)."""

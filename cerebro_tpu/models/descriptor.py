@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from cerebro_tpu.config import DescriptorConfig
-from cerebro_tpu.models.backbones import MobileTrunk, normalize_image
+from cerebro_tpu.models.backbones import MobileTrunk, VGGTrunk, normalize_image
 from cerebro_tpu.models.netvlad import GhostVLAD, NetVLAD
 
 
@@ -29,12 +29,17 @@ class DescriptorNet(nn.Module):
     num_clusters: int = 16
     trunk_dim: int = 256
     num_ghost: int = 0  # >0 selects GhostVLAD (ref predict_utils.py:83-155)
+    backbone: str = "mobile"  # "mobile" (conv_pw_7 analog) or "vgg16"
+    # (the ReljaNetVLAD/keras_helpers VGG cut, ref keras_helpers.py:231-336)
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
         # images: (B, H, W, C) already normalized to [-1, 1].
-        feats = MobileTrunk(out_dim=self.trunk_dim, dtype=self.dtype)(images)
+        if self.backbone == "vgg16":
+            feats = VGGTrunk(out_dim=self.trunk_dim, dtype=self.dtype)(images)
+        else:
+            feats = MobileTrunk(out_dim=self.trunk_dim, dtype=self.dtype)(images)
         if self.num_ghost > 0:
             return GhostVLAD(
                 num_clusters=self.num_clusters,
@@ -61,6 +66,7 @@ def create_descriptor_model(
         num_clusters=cfg.num_clusters,
         trunk_dim=cfg.trunk_dim,
         num_ghost=cfg.num_ghost,
+        backbone=cfg.backbone,
         dtype=jnp.dtype(cfg.dtype),
     )
     h, w = cfg.image_hw

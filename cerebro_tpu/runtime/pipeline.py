@@ -169,6 +169,14 @@ class CerebroPipeline:
                 self.params = params
             self.describe_fn = lambda imgs: describe_batch(self.net, self.params, imgs)
             dim = self.net.descriptor_dim
+        if dcfg.wpca_artifact:
+            # ReljaNetVLAD pipeline shape: net -> WPCA whitening -> L2
+            # (ref scripts/whole_image_desc_compute_server.py:62-165)
+            from cerebro_tpu.models.wpca import load_wpca, whitened_describe_fn
+
+            wp = load_wpca(dcfg.wpca_artifact)
+            self.describe_fn = whitened_describe_fn(self.describe_fn, wp)
+            dim = wp.out_dim
         if self.cfg.loop.quantized:
             assert mesh is None, "quantized DB + mesh not supported yet"
             assert self.cfg.loop.method == "A", "quantized DB supports method A"
