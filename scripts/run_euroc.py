@@ -36,6 +36,18 @@ def main():
         "--trace", default=None, help="emit a jax.profiler device trace to this dir"
     )
     ap.add_argument(
+        "--ate", action="store_true",
+        help="report ATE RMSE before (fed odometry) and after pose-graph "
+             "optimization against the sequence ground truth "
+             "(state_groundtruth_estimate0)",
+    )
+    ap.add_argument(
+        "--odom-drift", type=float, default=0.0,
+        help="with --ate: per-frame random-walk drift (metres std) injected "
+             "into the fed odometry, simulating VINS drift so the "
+             "loop-closure correction is visible (ground truth stays clean)",
+    )
+    ap.add_argument(
         "--config",
         default=os.path.join(
             os.path.dirname(__file__), "..", "configs", "euroc", "euroc_stereo_config.yaml"
@@ -96,10 +108,26 @@ def main():
         def right(self):
             return self._r
 
+    gt_positions = []  # clean ground truth per pose-carrying frame
+    drift_rng = np.random.default_rng(0)
+    drift_t = np.zeros(3, np.float32)
+
     def RectifiedFrames(frames):
+        nonlocal drift_t
         for f in frames:
             left, right = rect.rectify(f.left(), f.right())
-            yield _RectFrame(f.stamp, f.pose, left, right)
+            pose = f.pose
+            if pose is not None and args.ate:
+                gt_positions.append(np.asarray(pose)[:3, 3].copy())
+                if args.odom_drift > 0:
+                    # translation random walk — the dominant VINS error
+                    # mode loop closure exists to correct
+                    drift_t = drift_t + drift_rng.normal(
+                        0, args.odom_drift, 3
+                    ).astype(np.float32)
+                    pose = np.array(pose, np.float32)
+                    pose[:3, 3] += drift_t
+            yield _RectFrame(f.stamp, pose, left, right)
 
     report = run_sequence(
         pipe,
@@ -107,6 +135,13 @@ def main():
         max_frames=args.max_frames,
         trace_dir=args.trace,
     )
+    if args.ate and gt_positions:
+        # the generator may have yielded one frame past max_frames before
+        # run_sequence stopped consuming — truncate gt to the rows stored
+        n_posed = int(pipe.store.pose_valid[: pipe.store.size].sum())
+        report = evaluate_against_gt(
+            pipe, report, np.asarray(gt_positions[:n_posed], np.float32)
+        )
 
     os.makedirs(args.out, exist_ok=True)
     traj = pipe.optimize_trajectory()
