@@ -125,8 +125,12 @@ class LoopConfig:
     # which covers the (up to) 3 newest descriptors scored that tick
     # (src/Cerebro.cpp:1019-1032 + src/HypothesisManager.cpp:74-86).
     # Anchoring decay to the QUERY index — not the update() call — makes
-    # Method D invariant to how the stream is batched.
-    hypothesis_digest_every: int = 3
+    # Method D invariant to how the stream is batched. Default 1 is the
+    # photo-world sweep frontier (SWEEP_METHOD_D.json: digest-per-query
+    # dominates every slower cadence at all promote/TTL/decay settings);
+    # even so Method D's frontier recall is 0.15 vs Method C's 0.95 —
+    # D is kept for reference parity, C is the recommended top-k method.
+    hypothesis_digest_every: int = 1
     # support needed to promote a hypothesis to a loop candidate (the
     # reference's digest logic is marked 'under development'; 3 mirrors the
     # 3-consecutive-frame rule of Method A)

@@ -7,7 +7,9 @@ from cerebro_tpu.config import LoopConfig
 from cerebro_tpu.loop import hypothesis as hyp
 from cerebro_tpu.loop.topk_methods import clique_topk_candidates, naive_topk_candidates
 
-CFG = LoopConfig()
+# cadence pinned at 3: these tests document the digest-every-3-queries
+# behavior (engine default is the sweep frontier, digest_every=1)
+CFG = LoopConfig(hypothesis_digest_every=3)
 
 
 def feed(table, pairs, promote_support=4):
