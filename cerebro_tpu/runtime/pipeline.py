@@ -148,7 +148,8 @@ class CerebroPipeline:
             dim = describe_dim or dcfg.num_clusters * dcfg.trunk_dim
         elif dcfg.kind == "gist":
             dim = dcfg.num_clusters * dcfg.trunk_dim
-            self.describe_fn = lambda imgs: gist_descriptors(imgs, dim=dim)
+            # bind dim NOW — the name is rebound below when WPCA chains on
+            self.describe_fn = lambda imgs, _d=dim: gist_descriptors(imgs, dim=_d)
         elif dcfg.kind == "ported":
             # The reference's actual trained flagship weights
             # (mobilenet_conv7_allpairloss), run natively (models/mobilenet.py).

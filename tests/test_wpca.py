@@ -138,3 +138,37 @@ def test_wpca_retrieval_ab_photo_world(tmp_path):
     # same-place similarity stays on the raw scale, so the engine's 0.85
     # dot threshold keeps its meaning after projection
     assert s_wpca > 0.7, s_wpca
+
+
+def test_pipeline_wpca_wiring(tmp_path, rng):
+    """DescriptorConfig.wpca_artifact chains the projection into the
+    engine: the DB runs at the projected dimension and ingest works."""
+    import jax.numpy as jnp
+
+    from cerebro_tpu.config import CerebroConfig, DescriptorConfig, LoopConfig
+    from cerebro_tpu.models.gist import gist_descriptors
+    from cerebro_tpu.models.wpca import fit_wpca, save_wpca
+    from cerebro_tpu.runtime import CerebroPipeline
+
+    # fit on a bank of gist descriptors of random frames
+    imgs = rng.integers(0, 255, (40, 32, 64, 1), dtype=np.uint8)
+    bank = np.asarray(gist_descriptors(jnp.asarray(imgs), dim=128))
+    wp = fit_wpca(bank, out_dim=16)
+    path = str(tmp_path / "wpca.npz")
+    save_wpca(wp, path)
+
+    cfg = CerebroConfig(
+        descriptor=DescriptorConfig(
+            image_hw=(32, 64), kind="gist", num_clusters=1, trunk_dim=128,
+            wpca_artifact=path,
+        ),
+        loop=LoopConfig(db_capacity=128),
+    )
+    pipe = CerebroPipeline(cfg)
+    assert pipe.db.vectors.shape[1] == wp.out_dim
+    for t in range(6):
+        pipe.ingest_frame(float(t), imgs[t, :, :, 0], n_tracked=50)
+    pipe.flush_descriptors()
+    assert len(pipe.db_gid_to_store) == 6
+    rows = np.asarray(pipe.db.vectors)[:6]
+    np.testing.assert_allclose(np.linalg.norm(rows, axis=1), 1.0, atol=1e-3)
