@@ -171,4 +171,5 @@ def test_pipeline_wpca_wiring(tmp_path, rng):
     pipe.flush_descriptors()
     assert len(pipe.db_gid_to_store) == 6
     rows = np.asarray(pipe.db.vectors)[:6]
-    np.testing.assert_allclose(np.linalg.norm(rows, axis=1), 1.0, atol=1e-3)
+    # DB rows are stored at reduced precision; allow rounding in the norm
+    np.testing.assert_allclose(np.linalg.norm(rows, axis=1), 1.0, atol=5e-3)
