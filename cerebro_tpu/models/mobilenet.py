@@ -68,15 +68,29 @@ def _relu6(x):
     return jnp.clip(x, 0.0, 6.0)
 
 
+def v1_blocks_in(params: Dict[str, jax.Array]) -> Tuple[Tuple[int, int], ...]:
+    """(block index, depthwise stride) for the V1 blocks a checkpoint
+    actually contains — the reference ships cuts at different depths
+    (flagship conv_pw_7, June2019 conv_pw_6_relu variant). Strides follow
+    the canonical Keras MobileNetV1 schedule (s2 at dw 2/4/6/12)."""
+    idx = sorted(
+        int(k[len("conv_dw_"):].split("/")[0])
+        for k in params
+        if k.startswith("conv_dw_") and k.endswith("/kernel")
+    )
+    return tuple((i, 2 if i in (2, 4, 6, 12) else 1) for i in idx)
+
+
 def mobilenet_v1_trunk(params: Dict[str, jax.Array], x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
-    """BN-folded MobileNetV1 trunk: (B,H,W,3) in [-1,1] -> (B,H/16,W/16,512).
+    """BN-folded MobileNetV1 trunk: (B,H,W,3) in [-1,1] -> coarse features.
 
     Keras stride-2 layers use ZeroPadding2D((0,1),(0,1)) + valid conv; we pass
-    that padding straight to XLA.
+    that padding straight to XLA. The block set comes from the checkpoint
+    (see v1_blocks_in) so one program serves every bundled V1 cut.
     """
     asym = [(0, 1), (0, 1)]
     x = _relu6(_conv(x, params["conv1/kernel"], params["conv1/bias"], stride=2, padding=asym, dtype=dtype))
-    for i, _, stride in V1_BLOCKS:
+    for i, stride in v1_blocks_in(params):
         dw_k = params[f"conv_dw_{i}/kernel"]
         pad = asym if stride == 2 else "SAME"
         c = dw_k.shape[-1]

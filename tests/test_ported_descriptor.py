@@ -200,3 +200,39 @@ def test_centered_input_collapses_flagship(ported):
     assert max(off_raw) < 0.7, S_raw
     # centered input: everything collapses onto one direction
     assert min(off_cen) > 0.95, S_cen
+
+
+CONV6_ARTIFACT = os.path.join(
+    os.path.dirname(__file__), "..", "artifacts", "descriptor_ported_conv6_m1to1"
+)
+
+
+@pytest.mark.skipif(not os.path.isdir(CONV6_ARTIFACT), reason="no conv6 artifact")
+def test_second_bundled_model_conv6_m1to1():
+    """The June2019 centeredinput-m1to1 conv_pw_6 checkpoint (ref
+    scripts/keras.models/June2019/...mobilenet-conv_pw_6_relu...) runs
+    through the same V1 machinery: the trunk derives its block set from
+    the checkpoint, the head stays K16 x 512 = 8192, and the m1to1 input
+    scale is honored per-checkpoint."""
+    import jax.numpy as jnp
+
+    from cerebro_tpu.models.mobilenet import (
+        load_ported_params,
+        ported_forward,
+        v1_blocks_in,
+    )
+
+    params, meta = load_ported_params(CONV6_ARTIFACT)
+    assert meta["input_scale"] == "m1to1"
+    assert meta["descriptor_dim"] == 8192
+    assert meta["parity_cosine_f32"] > 0.999
+    blocks = v1_blocks_in(params)
+    assert [i for i, _ in blocks] == [1, 2, 3, 4, 5, 6]
+
+    rng_ = np.random.default_rng(0)
+    imgs = rng_.integers(0, 255, (2, 240, 320, 3), dtype=np.uint8)
+    d = np.asarray(
+        ported_forward(params, jnp.asarray(imgs), input_scale=meta["input_scale"])
+    )
+    assert d.shape == (2, 8192)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=5e-3)
