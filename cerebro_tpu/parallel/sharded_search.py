@@ -148,3 +148,79 @@ def detect_batch_sharded(
     return detector.temporal_consistency(
         cfg, state, mx, ar, global_idx, searchable, query_valid
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized DB, sharded: same row-sharding + tiny all-gather merge as
+# the float path, with the int8 MXU scoring kernel per shard. Lifts the
+# "quantized DB xor mesh" limitation: pod-scale history AND half the HBM
+# per row compose.
+# ---------------------------------------------------------------------------
+
+
+def shard_db_quantized(db, mesh: Mesh, axis: str = "db"):
+    """Row-shard a db.descriptors.QuantizedDB over the mesh axis."""
+    from cerebro_tpu.db.descriptors import QuantizedDB
+
+    return QuantizedDB(
+        values=jax.device_put(db.values, NamedSharding(mesh, P(axis, None))),
+        scales=jax.device_put(db.scales, NamedSharding(mesh, P(axis))),
+        global_ids=jax.device_put(db.global_ids, NamedSharding(mesh, P(axis))),
+        count=jax.device_put(db.count, NamedSharding(mesh, P())),
+        total=jax.device_put(db.total, NamedSharding(mesh, P())),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+def sharded_max_and_argmax_int8(
+    queries: jax.Array,  # (Q, D) replicated float
+    db_values: jax.Array,  # (N, D) int8, sharded over rows
+    db_scales: jax.Array,  # (N,) f32, sharded with the rows
+    limits: jax.Array,  # (Q,) int32 global exclusive gid bounds
+    gids: jax.Array,  # (N,) int32, sharded with the rows
+    mesh: Mesh,
+    axis: str = "db",
+) -> Tuple[jax.Array, jax.Array]:
+    """Global (max, matched gid) per query over the row-sharded int8 DB."""
+
+    def local(queries, val_shard, scale_shard, limits, gid_shard):
+        mx, ar = similarity.max_and_argmax_int8(
+            queries, val_shard, scale_shard, limits, gid_shard
+        )
+        all_mx = jax.lax.all_gather(mx, axis)  # (n_dev, Q)
+        all_ar = jax.lax.all_gather(ar, axis)
+        best = jnp.argmax(all_mx, axis=0)
+        gmx = jnp.take_along_axis(all_mx, best[None, :], axis=0)[0]
+        gar = jnp.take_along_axis(all_ar, best[None, :], axis=0)[0]
+        return gmx, gar
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(queries, db_values, db_scales, limits, gids)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis"))
+def detect_batch_quantized_sharded(
+    cfg: LoopConfig,
+    db,  # QuantizedDB, row-sharded
+    state: detector.DetectorState,
+    queries: jax.Array,
+    global_idx: jax.Array,
+    query_valid: jax.Array,
+    mesh: Mesh,
+    axis: str = "db",
+) -> Tuple[detector.LoopCandidates, detector.DetectorState]:
+    """Multi-device detect_batch_quantized: sharded int8 search, identical
+    temporal-consistency semantics."""
+    limits = query_limits(db, global_idx, cfg.exclusion_window)
+    mx, ar = sharded_max_and_argmax_int8(
+        queries, db.values, db.scales, limits, db.global_ids, mesh, axis=axis
+    )
+    searchable = (limits > 0) & query_valid
+    return detector.temporal_consistency(
+        cfg, state, mx, ar, global_idx, searchable, query_valid
+    )

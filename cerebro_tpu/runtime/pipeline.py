@@ -179,18 +179,23 @@ class CerebroPipeline:
             self.describe_fn = whitened_describe_fn(self.describe_fn, wp)
             dim = wp.out_dim
         if self.cfg.loop.quantized:
-            assert mesh is None, "quantized DB + mesh not supported yet"
             assert self.cfg.loop.method == "A", "quantized DB supports method A"
+            assert self.cfg.loop.candidates_per_query <= 1, (
+                "quantized DB supports single-argmax Method A"
+            )
             self.db = ddb.create_quantized(self.cfg.loop.db_capacity, dim)
         else:
             self.db = ddb.create(self.cfg.loop.db_capacity, dim)
         if mesh is not None:
-            from cerebro_tpu.parallel import shard_db
+            from cerebro_tpu.parallel import shard_db, shard_db_quantized
 
             assert self.cfg.loop.db_capacity % mesh.devices.size == 0, (
                 "db_capacity must divide evenly over the mesh"
             )
-            self.db = shard_db(self.db, mesh, axis=self.cfg.mesh.axis_db)
+            if self.cfg.loop.quantized:
+                self.db = shard_db_quantized(self.db, mesh, axis=self.cfg.mesh.axis_db)
+            else:
+                self.db = shard_db(self.db, mesh, axis=self.cfg.mesh.axis_db)
         self.det_state = detector.init_state()
         # Method-B carry (same 2-entry state machinery as Method A)
         self.det_state_b = detector.init_state()
@@ -522,7 +527,14 @@ class CerebroPipeline:
             return ("A+", cands, n_valid, k)
 
         if method == "A":
-            if self.cfg.loop.quantized:
+            if self.cfg.loop.quantized and self.mesh is not None:
+                from cerebro_tpu.parallel import detect_batch_quantized_sharded
+
+                cands, self.det_state = detect_batch_quantized_sharded(
+                    cfg, self.db, self.det_state, descs, gidx, qvalid,
+                    self.mesh, axis=self.cfg.mesh.axis_db,
+                )
+            elif self.cfg.loop.quantized:
                 cands, self.det_state = detector.detect_batch_quantized(
                     cfg, self.db, self.det_state, descs, gidx, qvalid
                 )

@@ -199,3 +199,73 @@ def test_merge_payload_matches_compiled_hlo():
     # no other collectives hide in the program
     for op in ("all-reduce(", "all-to-all(", "collective-permute("):
         assert op not in txt, op
+
+
+def test_quantized_sharded_matches_single_device(rng):
+    """Sharded int8 search == single-device int8 search, exactly: the
+    per-shard int8 row math is identical, the all-gather merge is exact.
+    (Lifts the r4 'quantized DB + mesh not supported' limitation.)"""
+    from cerebro_tpu.parallel import (
+        detect_batch_quantized_sharded,
+        shard_db_quantized,
+    )
+
+    vecs = rng.normal(size=(N, D)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+    qdb = ddb.create_quantized(N, D)
+    for i in range(0, N, 512):
+        qdb = ddb.append_quantized(qdb, jnp.asarray(vecs[i : i + 512]),
+                                   jnp.asarray(512))
+    cfg = LoopConfig(db_capacity=N, quantized=True, dot_threshold=0.2,
+                     exclusion_window=4)
+    B = 8
+    q = vecs[rng.integers(0, N, B)] + 0.01 * rng.normal(size=(B, D)).astype(
+        np.float32)
+    q = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+    gidx = jnp.arange(N, N + B, dtype=jnp.int32)
+    qvalid = jnp.ones((B,), bool)
+
+    single, st1 = detector.detect_batch_quantized(
+        cfg, qdb, detector.init_state(), jnp.asarray(q), gidx, qvalid
+    )
+
+    mesh = make_mesh(8)
+    sq = shard_db_quantized(qdb, mesh)
+    shard, st2 = detect_batch_quantized_sharded(
+        cfg, sq, detector.init_state(), jnp.asarray(q), gidx, qvalid, mesh
+    )
+    np.testing.assert_array_equal(np.asarray(single.valid), np.asarray(shard.valid))
+    np.testing.assert_array_equal(np.asarray(single.prev_idx), np.asarray(shard.prev_idx))
+    np.testing.assert_allclose(np.asarray(single.score), np.asarray(shard.score), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st1.prev_max), np.asarray(st2.prev_max), atol=1e-5)
+
+
+def test_pipeline_quantized_with_mesh(rng, tmp_path):
+    """CerebroPipeline composes the quantized DB with a mesh end-to-end."""
+    from cerebro_tpu.config import (
+        CerebroConfig,
+        DescriptorConfig,
+        LoopConfig as LC,
+        RuntimeConfig,
+    )
+    from cerebro_tpu.runtime import CerebroPipeline
+
+    d0 = rng.normal(size=64).astype(np.float32)
+    d0 /= np.linalg.norm(d0)
+
+    def describe(imgs):
+        return jnp.asarray(np.tile(d0, (imgs.shape[0], 1)))
+
+    cfg = CerebroConfig(
+        descriptor=DescriptorConfig(image_hw=(24, 32)),
+        loop=LC(db_capacity=512, quantized=True, dot_threshold=0.5,
+                exclusion_window=2, locality_threshold=64),
+        runtime=RuntimeConfig(descriptor_batch=4, stash_dir=str(tmp_path / "s")),
+    )
+    mesh = make_mesh(8)
+    pipe = CerebroPipeline(cfg, describe_fn=describe, describe_dim=64, mesh=mesh)
+    img = rng.integers(0, 255, (24, 32), dtype=np.uint8)
+    for t in range(30):
+        pipe.ingest_frame(float(t), img, n_tracked=50, is_keyframe=True)
+    pipe.flush_descriptors()
+    assert len(pipe.candidates) > 0  # identical descriptors -> loops flow
