@@ -94,7 +94,8 @@ class LoopConfig:
     db_capacity: int = 29184  # 57 * 512 — ref 29000 rounded up to the search tile
     # Store the DB int8-quantized: half the HBM per row (2x capacity per
     # byte), int8 MXU scoring; <2e-2 dot-product deviation on unit
-    # descriptors. Method A only; not combined with a mesh yet.
+    # descriptors. Method A (single argmax) only; composes with a mesh
+    # (parallel.shard_db_quantized + sharded int8 search).
     quantized: bool = False
     # Reject candidate pairs that still share live tracker feature ids:
     # shared ids mean VINS tracked continuously between the frames, so the
