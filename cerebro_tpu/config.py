@@ -254,6 +254,14 @@ class PoseGraphConfig:
     # Huber kernel is layered on top).
     switch_prior_weight: float = 1.0
     damping: float = 1e-6
+    # Shape-bucket floors for the padded live solve. A growing graph walks
+    # the power-of-two buckets (one recompile each); a LIVE engine that
+    # knows its horizon should set floors covering the whole run so the
+    # solve keeps ONE compiled shape — mid-stream executable churn on a
+    # remote-TPU relay can evict other live programs (observed: a detect
+    # dispatch stalled ~10 s behind a mid-stream optimize reload).
+    node_bucket_floor: int = 16
+    loop_bucket_floor: int = 32
 
 
 @dataclasses.dataclass(frozen=True)

@@ -265,7 +265,7 @@ class CerebroPipeline:
         self,
         verify_device_batches: tuple = (),
         optimize_node_buckets: tuple = (),
-        optimize_loop_bucket: int = 32,
+        optimize_loop_buckets: tuple = (32,),
     ) -> dict:
         """Compile every device program the live loop dispatches, without
         mutating engine state (all warm calls run on throwaway copies —
@@ -329,21 +329,28 @@ class CerebroPipeline:
          self.clique_state, self.topk_state) = det_save
 
         for bn in optimize_node_buckets:
-            bl = optimize_loop_bucket
-            g = PoseGraph(
-                xyzyaw=jnp.zeros((bn, 4)),
-                node_valid=jnp.zeros(bn, bool).at[0].set(True),
-                odo_i=jnp.zeros(bn, jnp.int32),
-                odo_j=jnp.zeros(bn, jnp.int32),
-                odo_meas=jnp.zeros((bn, 4)),
-                odo_valid=jnp.zeros(bn, bool),
-                loop_i=jnp.zeros(bl, jnp.int32),
-                loop_j=jnp.zeros(bl, jnp.int32),
-                loop_meas=jnp.zeros((bl, 4)),
-                loop_valid=jnp.zeros(bl, bool),
-            )
-            x, s, c = optimize(g, self.cfg.posegraph)
-            pending.append((f"optimize_n{bn}", (x, s, c, poses_from_xyzyaw(x))))
+            # warm the LOOP-bucket axis too: a live engine's edge count
+            # grows through the power-of-two buckets mid-stream, and an
+            # unwarmed (node, loop) shape compiles during the stream —
+            # the r5 soak flake: ~85 edges pushed the solve into l=128
+            # while only l=32 was warm
+            for bl in optimize_loop_buckets:
+                g = PoseGraph(
+                    xyzyaw=jnp.zeros((bn, 4)),
+                    node_valid=jnp.zeros(bn, bool).at[0].set(True),
+                    odo_i=jnp.zeros(bn, jnp.int32),
+                    odo_j=jnp.zeros(bn, jnp.int32),
+                    odo_meas=jnp.zeros((bn, 4)),
+                    odo_valid=jnp.zeros(bn, bool),
+                    loop_i=jnp.zeros(bl, jnp.int32),
+                    loop_j=jnp.zeros(bl, jnp.int32),
+                    loop_meas=jnp.zeros((bl, 4)),
+                    loop_valid=jnp.zeros(bl, bool),
+                )
+                x, s, c = optimize(g, self.cfg.posegraph)
+                pending.append(
+                    (f"optimize_n{bn}_l{bl}", (x, s, c, poses_from_xyzyaw(x)))
+                )
 
         if verify_device_batches and self.rig is not None:
             # Warm through the REAL dispatch path (_verify_chunks +
@@ -1057,8 +1064,9 @@ class CerebroPipeline:
                 b *= 2
             return b
 
-        N, Bn = len(kf), bucket(len(kf))
-        Bl = bucket(len(li), lo=32)  # floor matches warmup's loop bucket
+        pcfg = self.cfg.posegraph
+        N, Bn = len(kf), bucket(len(kf), lo=pcfg.node_bucket_floor)
+        Bl = bucket(len(li), lo=pcfg.loop_bucket_floor)
 
         def padded(arr, B, fill=0.0, dtype=None):
             a = np.asarray(arr)

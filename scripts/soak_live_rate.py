@@ -60,6 +60,17 @@ def run(seconds: float, rate_hz: float, cpu: bool, out: str | None):
     from cerebro_tpu.runtime import CerebroPipeline, CerebroService
 
     n_frames = int(seconds * rate_hz)
+
+    # ONE optimize shape for the whole run: bucket floors sized to the
+    # stream horizon, so the live solve never walks the power-of-two
+    # buckets (each mid-stream recompile/reload can evict OTHER live
+    # executables on the relay — a detect dispatch once stalled ~10 s
+    # behind one). An engine with a known horizon should always do this.
+    node_floor = 512
+    while node_floor < n_frames + 2:
+        node_floor *= 2
+    from cerebro_tpu.config import PoseGraphConfig
+
     cfg = CerebroConfig(
         descriptor=DescriptorConfig(image_hw=(sw.IMG_H, sw.IMG_W), kind="ported"),
         loop=LoopConfig(db_capacity=4096),
@@ -70,6 +81,8 @@ def run(seconds: float, rate_hz: float, cpu: bool, out: str | None):
             stash_dir="",
             image_ram_window_s=10.0,
         ),
+        posegraph=PoseGraphConfig(node_bucket_floor=node_floor,
+                                  loop_bucket_floor=256),
         # match-count gates rescaled for 240x320 (same ratio as bench_e2e)
         verify=dataclasses.replace(
             VerifyConfig(), max_features=1024, ransac_hypotheses=128,
@@ -95,13 +108,10 @@ def run(seconds: float, rate_hz: float, cpu: bool, out: str | None):
     # relay a program first compiled on a spawned thread wedges — see
     # CerebroPipeline.warmup. Node buckets cover the run's keyframe count.
     t_warm = time.perf_counter()
-    buckets, b = [], 512
-    while b < 2 * n_frames:
-        buckets.append(b)
-        b *= 2
     warm_detail = pipe.warmup(
         verify_device_batches=(8,),
-        optimize_node_buckets=tuple(buckets),
+        optimize_node_buckets=(node_floor,),
+        optimize_loop_buckets=(256,),
     )
     warm_s = time.perf_counter() - t_warm
 
@@ -111,17 +121,29 @@ def run(seconds: float, rate_hz: float, cpu: bool, out: str | None):
     edges_live_timeline = []
     t_start = time.perf_counter()
 
+    push_block = {"total_s": 0.0, "max_s": 0.0, "sleep_starved_s": 0.0}
+
     def producer():
+        # telemetry separates the two ways a producer loses its 20 Hz
+        # pace: pushes blocking (lock/GIL contention) vs sleep overrun
+        # (the thread not being scheduled back on time)
         for i in range(n_frames):
             target = t_start + i / rate_hz
             now = time.perf_counter()
             if target > now:
                 time.sleep(target - now)
+                overrun = time.perf_counter() - target
+                if overrun > 0.05:
+                    push_block["sleep_starved_s"] += overrun
             ns = int((1.0 + i / rate_hz) * NS)
+            t0 = time.perf_counter()
             svc.push_image(ns, frames[i][0])
             svc.push_image(ns, frames[i][1], is_right=True)
             svc.push_pose(ns, seq.odom_poses[i])
             svc.push_tracking(ns, 100, is_keyframe=(i % 2 == 0))
+            dp = time.perf_counter() - t0
+            push_block["total_s"] += dp
+            push_block["max_s"] = max(push_block["max_s"], dp)
         svc.push_image(int(1e6 * NS), np.zeros_like(frames[0][0]))  # flush horizon
 
     def monitor():
@@ -171,6 +193,9 @@ def run(seconds: float, rate_hz: float, cpu: bool, out: str | None):
         "verify_lag_pairs_at_stream_end": int(verify_lag),
         "optimized_during_stream": bool(optimized_live),
         "rejected_candidates": st["rejected_candidates"],
+        "producer_push_block": {
+            k: round(v, 3) for k, v in push_block.items()
+        },
         "worker_timings_ms": pipe.timer.stats(skip_first=1),
         "descriptor": "ported (mobilenet_conv7_allpairloss)",
         "image_hw": [sw.IMG_H, sw.IMG_W],

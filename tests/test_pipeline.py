@@ -652,7 +652,7 @@ def test_warmup_compiles_without_touching_state(tmp_path, scene):
         pipe = CerebroPipeline(cfg, rig=make_rig())
         if warm:
             detail = pipe.warmup(optimize_node_buckets=(32,))
-            assert set(detail) >= {"describe", "detect", "optimize_n32"}
+            assert set(detail) >= {"describe", "detect", "optimize_n32_l32"}
             assert pipe.store.size == 0
             assert len(pipe.db_gid_to_store) == 0
             assert int(np.asarray(pipe.db.count)) == 0
