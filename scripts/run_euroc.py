@@ -9,7 +9,8 @@ the trajectory, and writes a JSON report (+ optional renders).
 
 Usage:
   python scripts/run_euroc.py /data/MH_01_easy/mav0 --out /tmp/mh01 \
-      [--descriptor gist|netvlad] [--params ckpt] [--stride 2] [--max-frames N]
+      [--descriptor ported|gist|netvlad] [--stride 2] [--max-frames N] \
+      [--ate [--odom-drift D]] [--save-state DIR | --load-state DIR]
 """
 
 import argparse
@@ -26,7 +27,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("mav0")
     ap.add_argument("--out", default="/tmp/cerebro_run")
-    ap.add_argument("--descriptor", default="gist", choices=["gist", "netvlad"])
+    ap.add_argument(
+        "--descriptor", default="ported",
+        choices=["ported", "gist", "netvlad"],
+        help="'ported' runs the reference's own trained flagship weights "
+             "(artifacts/descriptor_ported)",
+    )
     ap.add_argument("--stride", type=int, default=2)
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
